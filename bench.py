@@ -1,0 +1,93 @@
+"""Benchmark: ICL 2D U-Net semi-supervised training throughput on the
+reference ACDC config (batch 16 = 8 labeled + 8 unlabeled, 256² patches,
+SGD+poly — train_inherent_consistent_unet_2D.py:31-49).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value = training slices/sec (batch 16 per step). The reference publishes
+no throughput (BASELINE.md); vs_baseline is measured against
+BENCH_BASELINE.json — written on the first ever run (self-baseline), so
+vs_baseline tracks cumulative speedup across rounds.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+
+
+def main():
+    from icl_tpu.config import ExperimentConfig
+    from icl_tpu.train.trainer import Trainer
+
+    batch_size, labeled_bs, patch = 16, 8, 256
+    cfg = ExperimentConfig(
+        model="icl_unet",
+        patch_size=(patch, patch),
+        batch_size=batch_size,
+        labeled_bs=labeled_bs,
+        max_iterations=30000,
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(batch_size, patch, patch, 1)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 4, size=(batch_size, patch, patch)), jnp.int32),
+    }
+
+    # Warmup / compile
+    step_rng = jax.random.PRNGKey(1)
+    state, m = trainer.step_jit(state, batch, step_rng)
+    jax.block_until_ready(m["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = trainer.step_jit(state, batch, jax.random.fold_in(step_rng, i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    slices_per_sec = steps_per_sec * batch_size
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        try:
+            baseline = json.load(open(BASELINE_FILE))["value"]
+        except Exception:
+            baseline = None
+    if baseline is None:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "metric": "acdc_icl_unet_train_slices_per_sec",
+                    "value": slices_per_sec,
+                    "note": "first-run self baseline on this hardware",
+                    "device": str(jax.devices()[0]),
+                },
+                f,
+            )
+        baseline = slices_per_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "acdc_icl_unet_train_slices_per_sec",
+                "value": round(slices_per_sec, 3),
+                "unit": "slices/sec",
+                "vs_baseline": round(slices_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""icl_tpu — TPU-native (JAX/XLA/Pallas) framework for Inherent Consistent
+Learning semi-supervised medical image segmentation.
+
+A ground-up rebuild of the capabilities of zhuye98/ICL (MIDL'23,
+arXiv:2303.14175) designed TPU-first:
+
+- Models are Flax modules in NHWC/NDHWC layout feeding the MXU through
+  XLA convolutions and fused Pallas attention kernels.
+- Training is a single jitted step (loss + grads + SGD update + poly LR)
+  with data-parallel sharding over a `jax.sharding.Mesh`, not an eager
+  per-op Python loop.
+- Sliding-window / per-slice inference is batched into single XLA
+  programs instead of per-patch host↔device round trips.
+- Checkpointing via Orbax, with converters for the reference's torch
+  checkpoint dialects.
+
+Subpackages:
+    icl_tpu.models    — UNet 2D/3D, Swin-UNet 2D, SwinUNETR 3D, ICL heads
+    icl_tpu.losses    — exact training objective of the reference
+    icl_tpu.metrics   — Dice / HD95 with reference sentinels
+    icl_tpu.data      — h5/NIfTI datasets, TwoStream sampler, augmentations
+    icl_tpu.train     — Trainer, optimizer, train steps
+    icl_tpu.eval      — batched slice / fused sliding-window inference
+    icl_tpu.parallel  — mesh + sharding utilities
+"""
+
+__version__ = "0.1.0"

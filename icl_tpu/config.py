@@ -1,0 +1,72 @@
+"""Experiment configuration.
+
+One typed config replaces the reference's 10 copy-pasted argparse blocks
+(SURVEY.md §7 design translation). Field names/defaults mirror the
+reference flags (train_inherent_consistent_unet_2D.py:22-49) so the CLI
+shims map 1:1, plus TPU-native knobs (precision, mesh shape).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # Reference flags
+    root_path: str = "../ACDC"
+    exp: str = "ACDC/Inherent_Consistent_Learning"
+    model: str = "icl_unet"
+    num_classes: int = 4
+    in_chns: int = 1
+    max_iterations: int = 30000
+    batch_size: int = 16
+    labeled_bs: int = 8
+    base_lr: float = 0.01
+    patch_size: Sequence[int] = (256, 256)
+    seed: int = 1337
+    labeled_num: int = 7
+    num_tries: str = "1"
+    deterministic: int = 1
+
+    # Loss weights (per-dataset table, SURVEY.md §2.4)
+    consis_weight: float = 50.0
+    pse_weight: float = 1.0
+
+    # Optimizer (constant across the reference)
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    poly_power: float = 0.9
+
+    # Eval cadence
+    val_interval: int = 200
+
+    # TPU-native knobs
+    precision: str = "float32"  # 'float32' (parity) | 'bfloat16' (perf)
+    mesh_data: int = -1  # -1 = all devices on the data axis
+    mesh_model: int = 1
+    experiments_dir: str = "../experiments"
+
+    @property
+    def snapshot_path(self) -> str:
+        # Reference layout: ../experiments/{exp}_{labeled_num}_labeled/
+        # {model}_exp_{num_tries} (train_…unet_2D.py:242-245)
+        return (
+            f"{self.experiments_dir}/{self.exp}_{self.labeled_num}_labeled/"
+            f"{self.model}_exp_{self.num_tries}"
+        )
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def acdc_icl_config(**overrides) -> ExperimentConfig:
+    return ExperimentConfig(**overrides)
+
+
+def acdc_supervised_config(**overrides) -> ExperimentConfig:
+    cfg = ExperimentConfig(
+        exp="ACDC/Fully_Supervised", model="unet", labeled_num=7,
+        consis_weight=0.0, pse_weight=0.0,
+    )
+    return cfg.replace(**overrides)

@@ -1,0 +1,125 @@
+"""Host input pipeline: batch assembly + background prefetch.
+
+The reference uses 8 forked DataLoader workers doing h5 reads +
+scipy augmentations (`train_…unet_2D.py:90-91`). TPU-native replacement:
+a lightweight generator assembling channel-last numpy batches, wrapped
+in a double-buffered background thread so host augmentation overlaps
+device compute, then `jax.device_put` with the train step's sharding.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+from icl_tpu.data.acdc import ACDCDataset
+from icl_tpu.data.sampler import two_stream_batches
+from icl_tpu.data.transforms import RandomGenerator
+
+
+def acdc_train_batches(
+    dataset: ACDCDataset,
+    labeled_count: int,
+    batch_size: int,
+    labeled_bs: int,
+    patch_size,
+    seed: int = 1337,
+) -> Iterator[dict]:
+    """Endless [labeled..., unlabeled...] batches of augmented slices.
+
+    Yields dicts with 'image' [B, H, W, 1] float32, 'label' [B, H, W]
+    uint8 (train_…unet_2D.py:86-91 + dataset.py:147-166 semantics).
+    """
+    total = len(dataset)
+    labeled_idxs = list(range(0, labeled_count))
+    unlabeled_idxs = list(range(labeled_count, total))
+    transform = RandomGenerator(patch_size)
+    aug_rng = np.random.default_rng(seed + 1)
+    batches = two_stream_batches(
+        labeled_idxs, unlabeled_idxs, batch_size, batch_size - labeled_bs, seed=seed
+    )
+    for idxs in batches:
+        imgs, labs = [], []
+        for i in idxs:
+            item = dataset[i]
+            img, lab = transform(item["image"], item["label"], aug_rng)
+            imgs.append(img)
+            labs.append(lab)
+        yield {
+            "image": np.stack(imgs).astype(np.float32),
+            "label": np.stack(labs).astype(np.uint8),
+        }
+
+
+def supervised_batches(
+    dataset,
+    batch_size: int,
+    patch_size,
+    seed: int = 1337,
+) -> Iterator[dict]:
+    """Endless shuffled labeled-only batches (fully-supervised path,
+    train_fully_supervised_unet_2D_ACDC.py:72-78)."""
+    transform = RandomGenerator(patch_size)
+    rng = np.random.default_rng(seed)
+    aug_rng = np.random.default_rng(seed + 1)
+    n = len(dataset)
+    while True:
+        perm = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            imgs, labs = [], []
+            for i in perm[start : start + batch_size]:
+                item = dataset[int(i)]
+                img, lab = transform(item["image"], item["label"], aug_rng)
+                imgs.append(img)
+                labs.append(lab)
+            yield {
+                "image": np.stack(imgs).astype(np.float32),
+                "label": np.stack(labs).astype(np.uint8),
+            }
+
+
+class Prefetcher:
+    """Run an iterator in a background thread with a small buffer so host
+    augmentation overlaps device compute."""
+
+    _SENTINEL = object()
+
+    def __init__(self, it: Iterator, buffer_size: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self._err: Exception | None = None
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except Exception as e:  # propagate to consumer
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def device_stream(
+    batches: Iterator[dict],
+    put: Callable[[dict], dict] | None = None,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """Prefetch host batches and optionally map a device_put fn."""
+    it = Prefetcher(batches, buffer_size=prefetch)
+    for b in it:
+        yield put(b) if put is not None else b

@@ -1,0 +1,63 @@
+"""Host-side 2D augmentations matching the reference ACDC pipeline.
+
+Reproduces `code/dataloaders/dataset.py:75-166`:
+  * random_rot_flip: rot90 by k∈{0..3} then flip along a random axis.
+  * random_rotate: ±20° order-0 rotation, reshape=False.
+  * RandomGenerator: 50% rot_flip, else 25% rotate; then order-0 zoom to
+    the patch size.
+
+The reference draws randomness from python `random` + global `np.random`
+inside unseeded DataLoader workers; here every transform takes an
+explicit numpy Generator (run-level reproducibility by design).
+
+Outputs are channel-LAST float32 images [H, W, 1] and uint8 labels
+[H, W] — the TPU-native layout.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+from scipy.ndimage import zoom
+
+
+def random_rot_flip(image: np.ndarray, label: np.ndarray, rng: np.random.Generator):
+    k = int(rng.integers(0, 4))
+    axis = int(rng.integers(0, 2))
+    image = np.flip(np.rot90(image, k), axis=axis).copy()
+    label = np.flip(np.rot90(label, k), axis=axis).copy()
+    return image, label
+
+
+def random_rotate(image: np.ndarray, label: np.ndarray, rng: np.random.Generator):
+    angle = int(rng.integers(-20, 20))
+    image = ndimage.rotate(image, angle, order=0, reshape=False)
+    label = ndimage.rotate(label, angle, order=0, reshape=False)
+    return image, label
+
+
+def zoom_to(image: np.ndarray, output_size, order: int = 0) -> np.ndarray:
+    """scipy order-0 zoom to `output_size` (dataset.py:161-162)."""
+    x, y = image.shape
+    return zoom(image, (output_size[0] / x, output_size[1] / y), order=order)
+
+
+class RandomGenerator:
+    """The reference's RandomGenerator transform (dataset.py:147-166)."""
+
+    def __init__(self, output_size):
+        self.output_size = tuple(output_size)
+
+    def __call__(self, image: np.ndarray, label: np.ndarray, rng: np.random.Generator):
+        # Reference branch structure: `if random() > 0.5: rot_flip
+        # elif random() > 0.5: rotate` — i.e. 50% rot_flip, 25% rotate,
+        # 25% untouched (dataset.py:156-159).
+        u1 = rng.random()
+        if u1 > 0.5:
+            image, label = random_rot_flip(image, label, rng)
+        elif rng.random() > 0.5:
+            image, label = random_rotate(image, label, rng)
+        image = zoom_to(image, self.output_size, order=0)
+        label = zoom_to(label, self.output_size, order=0)
+        image = image.astype(np.float32)[..., None]  # [H, W, 1]
+        label = label.astype(np.uint8)
+        return image, label

@@ -1,0 +1,109 @@
+"""Evaluation metrics: binary Dice + HD95 with reference sentinels.
+
+The reference computes metrics with `medpy.metric.binary.dc/hd95`
+(`code/val_2D.py:11-23`, `code/val_3D.py:85-97`). medpy is not available
+here, so this module implements the identical math from first principles
+with scipy (surface extraction by binary erosion, exact euclidean
+distance transform), including the empty-mask sentinels:
+
+    pred and gt both empty      -> (dice 1, hd95 0)
+    exactly one of them empty   -> (dice 0, hd95 373.128664)
+
+These run on host CPU (exact distance transforms are not XLA-friendly);
+device code hands back uint8 masks.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+
+def dice_binary(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Dice coefficient 2|A∩B| / (|A|+|B|), as medpy.metric.binary.dc."""
+    pred = np.asarray(pred).astype(bool)
+    gt = np.asarray(gt).astype(bool)
+    intersection = np.count_nonzero(pred & gt)
+    size_sum = np.count_nonzero(pred) + np.count_nonzero(gt)
+    if size_sum == 0:
+        return 0.0
+    return 2.0 * intersection / float(size_sum)
+
+
+def _surface_distances(
+    result: np.ndarray,
+    reference: np.ndarray,
+    voxelspacing=None,
+    connectivity: int = 1,
+) -> np.ndarray:
+    """Distances from border voxels of `result` to the border of
+    `reference` (medpy __surface_distances semantics)."""
+    result = np.atleast_1d(np.asarray(result).astype(bool))
+    reference = np.atleast_1d(np.asarray(reference).astype(bool))
+    footprint = ndimage.generate_binary_structure(result.ndim, connectivity)
+    if not np.any(result):
+        raise RuntimeError("result is empty; surface distance undefined")
+    if not np.any(reference):
+        raise RuntimeError("reference is empty; surface distance undefined")
+    result_border = result ^ ndimage.binary_erosion(result, structure=footprint, iterations=1)
+    reference_border = reference ^ ndimage.binary_erosion(
+        reference, structure=footprint, iterations=1
+    )
+    dt = ndimage.distance_transform_edt(~reference_border, sampling=voxelspacing)
+    return dt[result_border]
+
+
+def hd95_binary(pred: np.ndarray, gt: np.ndarray, voxelspacing=None) -> float:
+    """95th-percentile symmetric Hausdorff distance, as medpy hd95."""
+    hd1 = _surface_distances(pred, gt, voxelspacing)
+    hd2 = _surface_distances(gt, pred, voxelspacing)
+    return float(np.percentile(np.hstack((hd1, hd2)), 95))
+
+
+# Sentinel HD95 used by the reference when exactly one mask is empty
+# (val_2D.py:18-21).
+EMPTY_SENTINEL_HD95 = 373.128664
+
+
+def calculate_metric_percase(pred: np.ndarray, gt: np.ndarray) -> tuple[float, float]:
+    """(dice, hd95) for one binary class, with reference sentinels
+    (val_2D.py:11-23)."""
+    pred = np.asarray(pred) > 0
+    gt = np.asarray(gt) > 0
+    pred_any = bool(pred.any())
+    gt_any = bool(gt.any())
+    if pred_any and gt_any:
+        return dice_binary(pred, gt), hd95_binary(pred, gt)
+    if pred_any != gt_any:
+        return 0.0, EMPTY_SENTINEL_HD95
+    return 1.0, 0.0
+
+
+def aggregate_case_metrics(metric_cal: list[list[tuple[float, float]]]):
+    """Aggregate per-case (dice, hd95) lists per class the reference way
+    (train_inherent_consistent_unet_2D.py:158-170): per-class mean/std
+    over cases, then mean over classes.
+
+    metric_cal: list over classes of lists over cases of (dice, hd95).
+    Returns dict with mean_dice, mean_hd95, std_dice, std_hd95,
+    class_mean, class_std (each class entry is an array [dice, hd95]).
+    """
+    num_fg = len(metric_cal)
+    mean_cal = 0.0
+    std_cal = 0.0
+    class_mean, class_std = [], []
+    for per_case in metric_cal:
+        arr = np.asarray(per_case, dtype=np.float64)
+        _mean = arr.mean(axis=0)
+        _std = arr.std(axis=0)
+        mean_cal = mean_cal + _mean
+        std_cal = std_cal + _std
+        class_mean.append(_mean)
+        class_std.append(_std)
+    return {
+        "mean_dice": float(mean_cal[0] / num_fg),
+        "mean_hd95": float(mean_cal[1] / num_fg),
+        "std_dice": float(std_cal[0] / num_fg),
+        "std_hd95": float(std_cal[1] / num_fg),
+        "class_mean": class_mean,
+        "class_std": class_std,
+    }

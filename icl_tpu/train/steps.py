@@ -1,0 +1,130 @@
+"""Jitted train steps: supervised and ICL semi-supervised.
+
+Each step is one XLA program — forward(s), losses, grads, SGD update and
+poly-LR all fused; the host loop only feeds batches and reads metrics
+(SURVEY.md §7 design translation). Loss composition mirrors
+train_inherent_consistent_unet_2D.py:119-127:
+
+    loss = (CE + Dice)                  on labeled main output
+         + AuxLoss(fm_lab, gt)          ICL labeled maps vs gt
+         + w_pse · PseudoSoftLoss       ICL unlabeled maps vs detached main unlab
+         + w_consis · softmax_mse       USCL vs SSPA maps on unlabeled
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from icl_tpu import losses
+from icl_tpu.train.state import TrainState
+
+
+def make_supervised_step(
+    model, tx: optax.GradientTransformation, num_classes: int
+) -> Callable:
+    """CE + Dice on labeled batches (train_fully_supervised_unet_2D_ACDC.py:108-110)."""
+
+    def step(state: TrainState, batch, rng):
+        x, y = batch["image"], batch["label"]
+
+        def loss_fn(params):
+            logits, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss_ce = losses.cross_entropy_loss(logits, y)
+            loss_dice = losses.multiclass_dice_loss(logits, y, num_classes, softmax=True)
+            loss = loss_ce + loss_dice
+            return loss, (mut["batch_stats"], {"loss": loss, "loss_ce": loss_ce,
+                                               "loss_dice": loss_dice})
+
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_icl_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_classes: int,
+    labeled_bs: int,
+    patch_size: Sequence[int],
+    consis_weight: float,
+    pse_weight: float = 1.0,
+) -> Callable:
+    """Semi-supervised ICL step (train_…unet_2D.py:117-130)."""
+    patch = tuple(patch_size)
+
+    def step(state: TrainState, batch, rng):
+        x, y = batch["image"], batch["label"]
+        x_lab, x_unlab = x[:labeled_bs], x[labeled_bs:]
+        y_lab = y[:labeled_bs]
+
+        def loss_fn(params):
+            outs, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x_lab,
+                x_unlab,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            out_lab, out_unlab, fm_lab, fm_unlab, fm_consis = outs
+            loss_ce = losses.cross_entropy_loss(out_lab, y_lab)
+            loss_dice = losses.multiclass_dice_loss(out_lab, y_lab, num_classes, softmax=True)
+            loss_aux = losses.aux_loss(fm_lab, y_lab, num_classes, patch)
+            loss_pse = losses.pseudo_soft_loss(fm_unlab, out_unlab, patch)
+            loss_consis = losses.softmax_mse_loss(fm_unlab, fm_consis)
+            loss_seg = loss_ce + loss_dice
+            loss = (
+                loss_seg
+                + loss_aux
+                + pse_weight * loss_pse
+                + consis_weight * loss_consis
+            )
+            metrics = {
+                "loss": loss,
+                "loss_seg": loss_seg,
+                "loss_ce": loss_ce,
+                "loss_dice": loss_dice,
+                "loss_aux": loss_aux,
+                "loss_pse": loss_pse,
+                "loss_aux_consis": consis_weight * loss_consis,
+            }
+            return loss, (mut["batch_stats"], metrics)
+
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    return step

@@ -1,0 +1,161 @@
+"""Trainer: one shared train loop replacing the reference's 10
+copy-pasted ~250-line scripts (SURVEY.md §7 design translation).
+
+Host loop responsibilities only: feed prefetched batches, log scalars,
+run periodic validation, keep the best checkpoint. All compute (forward,
+losses, grads, SGD, poly-LR) is one jitted XLA program per step.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icl_tpu.config import ExperimentConfig
+from icl_tpu.models.registry import net_factory
+from icl_tpu.train.optim import make_sgd
+from icl_tpu.train.state import TrainState
+from icl_tpu.train.steps import make_icl_step, make_supervised_step
+from icl_tpu.utils import checkpoint as ckpt
+from icl_tpu.utils.logging_utils import ScalarWriter, setup_logging
+
+ACDC_CLASS_NAMES = ["RV", "Myo", "LV"]  # classes 1..3 (train_…unet_2D.py:190-203)
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.is_icl = cfg.model.startswith("icl_") or cfg.model.endswith("_icl")
+        model_kwargs = {}
+        if self.is_icl:
+            model_kwargs["patch_size"] = int(cfg.patch_size[0])
+        self.model = net_factory(
+            cfg.model, in_chns=cfg.in_chns, class_num=cfg.num_classes, **model_kwargs
+        )
+        self.tx = make_sgd(
+            cfg.base_lr, cfg.max_iterations, cfg.momentum, cfg.weight_decay,
+            cfg.poly_power,
+        )
+        if self.is_icl:
+            self._step_fn = make_icl_step(
+                self.model, self.tx, cfg.num_classes, cfg.labeled_bs,
+                cfg.patch_size, cfg.consis_weight, cfg.pse_weight,
+            )
+        else:
+            self._step_fn = make_supervised_step(self.model, self.tx, cfg.num_classes)
+        self.step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> TrainState:
+        cfg = self.cfg
+        h, w = cfg.patch_size
+        p_rng, d_rng = jax.random.split(rng)
+        rngs = {"params": p_rng, "dropout": d_rng}
+        if self.is_icl:
+            xl = jnp.zeros((cfg.labeled_bs, h, w, cfg.in_chns), jnp.float32)
+            xu = jnp.zeros((cfg.batch_size - cfg.labeled_bs, h, w, cfg.in_chns), jnp.float32)
+            variables = self.model.init(rngs, xl, xu, train=True)
+        else:
+            x = jnp.zeros((cfg.batch_size, h, w, cfg.in_chns), jnp.float32)
+            variables = self.model.init(rngs, x, train=True)
+        state = TrainState.create(variables["params"], variables["batch_stats"], self.tx)
+        if self.mesh is not None:
+            from icl_tpu.parallel.mesh import shard_state
+
+            state = shard_state(state, self.mesh)
+        return state
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Iterator[dict],
+        evaluate: Optional[Callable[[dict], dict]] = None,
+        class_names: Optional[list[str]] = None,
+    ) -> TrainState:
+        """Run cfg.max_iterations steps. `evaluate(variables)` is called
+        every cfg.val_interval steps and returns the metric aggregate of
+        icl_tpu.metrics.aggregate_case_metrics."""
+        cfg = self.cfg
+        snapshot = cfg.snapshot_path
+        logger = setup_logging(snapshot)
+        writer = ScalarWriter(snapshot + "/log")
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        if class_names is None:
+            class_names = (
+                ACDC_CLASS_NAMES
+                if cfg.num_classes == 4
+                else [str(i) for i in range(1, cfg.num_classes)]
+            )
+
+        best_performance = 0.0
+        iter_num = 0
+        t_start = time.perf_counter()
+        from icl_tpu.train.optim import poly_lr_schedule
+
+        lr_sched = poly_lr_schedule(cfg.base_lr, cfg.max_iterations, cfg.poly_power)
+
+        for batch in train_batches:
+            rng, step_rng = jax.random.split(rng)
+            device_batch = {
+                "image": jnp.asarray(batch["image"]),
+                "label": jnp.asarray(batch["label"]),
+            }
+            state, metrics = self.step_jit(state, device_batch, step_rng)
+            iter_num += 1
+
+            writer.add_scalar("Info/lr", float(lr_sched(iter_num - 1)), iter_num)
+            host_metrics = {k: float(v) for k, v in metrics.items()}
+            for tag, v in host_metrics.items():
+                writer.add_scalar(f"Loss/{tag}", v, iter_num)
+            logger.info(
+                "iteration %d : "
+                + ", ".join(f"{k}: {v:f}" for k, v in host_metrics.items()),
+                iter_num,
+            )
+
+            if evaluate is not None and iter_num % cfg.val_interval == 0:
+                variables = {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                }
+                agg = evaluate(variables)
+                writer.add_scalar("metric_all/mean_dice", agg["mean_dice"], iter_num)
+                writer.add_scalar("metric_all/mean_hd95", agg["mean_hd95"], iter_num)
+                writer.add_scalar("metric_all/std_dice", agg["std_dice"], iter_num)
+                writer.add_scalar("metric_all/std_hd95", agg["std_hd95"], iter_num)
+                for ci, name in enumerate(class_names):
+                    writer.add_scalar(
+                        f"metric_class_{name}/mean_dice", agg["class_mean"][ci][0], iter_num
+                    )
+                    writer.add_scalar(
+                        f"metric_class_{name}/mean_hd95", agg["class_mean"][ci][1], iter_num
+                    )
+                logger.info(
+                    "iteration %d : mean_dice : %f  mean_hd95 : %f",
+                    iter_num, agg["mean_dice"], agg["mean_hd95"],
+                )
+                if agg["mean_dice"] > best_performance:
+                    best_performance = agg["mean_dice"]
+                    path = ckpt.save_best_model(
+                        snapshot, variables["params"], variables["batch_stats"]
+                    )
+                    ckpt.save_train_state(snapshot, state, name="best_full")
+                    logger.info("saving best model at iter %d -> %s", iter_num, path)
+
+            if iter_num >= cfg.max_iterations:
+                break
+
+        elapsed = time.perf_counter() - t_start
+        logger.info(
+            "Training finished: %d iters in %.1fs (%.2f it/s)",
+            iter_num, elapsed, iter_num / max(elapsed, 1e-9),
+        )
+        ckpt.save_train_state(snapshot, state, name="last")
+        writer.close()
+        return state

@@ -1,0 +1,52 @@
+"""Checkpointing.
+
+Two dialects:
+  * Full resumable TrainState (params + batch_stats + opt_state + step)
+    — msgpack via flax.serialization. The reference has NO resume path
+    (the `--resume` flag is parsed but unused, net_factory.py:48); this
+    is a deliberate capability addition (SURVEY.md §5).
+  * "Best model" export matching the reference contract: params with the
+    ICL heads (sspa/uscl) stripped (train_…unet_2D.py:177-181), saved as
+    {snapshot}/model/model_best.msgpack.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+from flax import serialization
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def load_pytree(path: str, target: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def strip_icl_heads(params: dict) -> dict:
+    """Drop sspa/uscl subtrees (reference best-ckpt rule)."""
+    return {k: v for k, v in params.items() if k not in ("sspa", "uscl")}
+
+
+def save_best_model(snapshot_path: str, params: dict, batch_stats: dict) -> str:
+    path = os.path.join(snapshot_path, "model", "model_best.msgpack")
+    save_pytree(path, {"params": strip_icl_heads(params),
+                       "batch_stats": strip_icl_heads(batch_stats)})
+    return path
+
+
+def save_train_state(snapshot_path: str, state, name: str = "last") -> str:
+    path = os.path.join(snapshot_path, "model", f"state_{name}.msgpack")
+    save_pytree(path, jax.device_get(state))
+    return path
+
+
+def load_train_state(snapshot_path: str, target, name: str = "last"):
+    path = os.path.join(snapshot_path, "model", f"state_{name}.msgpack")
+    return load_pytree(path, target)

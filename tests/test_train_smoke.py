@@ -1,0 +1,91 @@
+"""End-to-end integration: tiny synthetic ACDC, a few train steps, loss
+decreases, eval + best-checkpoint round-trip (SURVEY.md §4 item 3)."""
+import numpy as np
+import pytest
+
+import jax
+
+from icl_tpu.config import ExperimentConfig
+from icl_tpu.data.acdc import ACDCDataset
+from icl_tpu.data.pipeline import acdc_train_batches, supervised_batches
+from icl_tpu.data.synth import make_synthetic_acdc
+from icl_tpu.eval.infer2d import evaluate_acdc_volumes, make_slice_predictor
+from icl_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ACDC_synth")
+    return make_synthetic_acdc(str(root), num_slices=16, num_volumes=2, slice_size=16)
+
+
+def test_supervised_train_decreases_loss(synth_root, tmp_path):
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=8, val_interval=8, base_lr=0.05,
+        experiments_dir=str(tmp_path), exp="smoke", labeled_num=3,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    ds = ACDCDataset(synth_root, "train")
+    batches = supervised_batches(ds, cfg.batch_size, cfg.patch_size, seed=0)
+
+    import jax.numpy as jnp
+    lvals = []
+    rng = jax.random.PRNGKey(1)
+    for i, b in zip(range(8), batches):
+        rng, r = jax.random.split(rng)
+        db = {"image": jnp.asarray(b["image"]), "label": jnp.asarray(b["label"])}
+        state, m = tr.step_jit(state, db, r)
+        lvals.append(float(m["loss"]))
+    assert lvals[-1] < lvals[0], lvals
+
+
+def test_icl_full_fit_loop(synth_root, tmp_path):
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="icl_unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=4, val_interval=2, base_lr=0.01,
+        experiments_dir=str(tmp_path), exp="smoke_icl", labeled_num=3,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    train_ds = ACDCDataset(synth_root, "train")
+    val_ds = ACDCDataset(synth_root, "val_test")
+    batches = acdc_train_batches(train_ds, labeled_count=8, batch_size=4,
+                                 labeled_bs=2, patch_size=(16, 16), seed=0)
+    predict = make_slice_predictor(tr.model, (16, 16), bucket=4)
+
+    def evaluate(variables):
+        return evaluate_acdc_volumes(predict, variables, val_ds, cfg.num_classes)
+
+    state = tr.fit(state, batches, evaluate=evaluate)
+    assert int(state.step) == 4
+
+    # best-checkpoint contract: ICL heads stripped
+    import os
+    from flax import serialization
+
+    best = os.path.join(cfg.snapshot_path, "model", "model_best.msgpack")
+    assert os.path.exists(best)
+    with open(best, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    assert "sspa" not in tree["params"] and "uscl" not in tree["params"]
+    assert "encoder" in tree["params"] and "decoder" in tree["params"]
+
+
+def test_eval_volume_shapes(synth_root):
+    """Batched slice predictor handles D not divisible by bucket and
+    H,W != patch."""
+    cfg_model = "unet"
+    from icl_tpu.models.registry import net_factory
+    import jax.numpy as jnp
+
+    m = net_factory(cfg_model, 1, 4)
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+               jnp.zeros((1, 16, 16, 1)), train=True)
+    predict = make_slice_predictor(m, (16, 16), bucket=4)
+    vol = np.random.default_rng(0).normal(size=(5, 20, 24)).astype(np.float32)
+    pred = predict(v, vol)
+    assert pred.shape == vol.shape
+    assert pred.max() <= 3
