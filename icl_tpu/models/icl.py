@@ -193,12 +193,15 @@ class InherentConsistent(nn.Module):
             f = feats[i]
             C = self.in_chans[i]
             if self.tokenized_input:
+                # Swin 2D variant: token feats go straight to the class
+                # decoder — no proj conv, no norm (vision_transformer.py:
+                # 245-247, commented out in the reference).
                 tok = f.reshape(BS, -1, C)
             else:
                 tok = TorchConv(
                     C, (1,) * self.spatial_dims, name=f"proj{i}"
                 )(f).reshape(BS, -1, C)
-            tok = LayerNorm(name=f"norm{i}")(tok)
+                tok = LayerNorm(name=f"norm{i}")(tok)
 
             if modal == "labeled":
                 q_in = next_Q

@@ -44,6 +44,25 @@ def _icl_unet(in_chns, class_num, patch_size: int = 256, **kw):
     return UNetICL(in_chns=in_chns, class_num=class_num, patch_size=patch_size)
 
 
+@register("swinunet")
+def _swinunet(in_chns, class_num, img_size: int = 224, window_size: int = 7, **kw):
+    from icl_tpu.models.swin2d import SwinUnetWrapper
+
+    return SwinUnetWrapper(in_chns=in_chns, class_num=class_num,
+                           img_size=img_size, window_size=window_size)
+
+
+@register("icl_swinunet")
+def _icl_swinunet(in_chns, class_num, img_size: int = 224, patch_size: int = 224,
+                  window_size: int = 7, **kw):
+    from icl_tpu.models.swin2d_icl import SwinUNetICL
+
+    # patch_size alias: trainers pass the training patch (= img size here)
+    return SwinUNetICL(in_chns=in_chns, class_num=class_num,
+                       img_size=img_size if img_size != 224 else patch_size,
+                       window_size=window_size)
+
+
 @register("unet_3D")
 def _unet_3d(in_chns, class_num, **kw):
     from icl_tpu.models.unet3d import UNet3D
@@ -56,3 +75,22 @@ def _unet_3d_icl(in_chns, class_num, patch_size: int = 96, **kw):
     from icl_tpu.models.unet3d_icl import UNet3DICL
 
     return UNet3DICL(in_chns=in_chns, class_num=class_num, patch_size=patch_size)
+
+
+@register("swinunetr")
+def _swinunetr(in_chns, class_num, feature_size: int = 48,
+               window_size=(7, 7, 7), **kw):
+    from icl_tpu.models.swinunetr import SwinUNETR
+
+    return SwinUNETR(in_chns=in_chns, class_num=class_num,
+                     feature_size=feature_size, window_size=tuple(window_size))
+
+
+@register("swinunetr_icl")
+def _swinunetr_icl(in_chns, class_num, patch_size: int = 96,
+                   feature_size: int = 48, window_size=(7, 7, 7), **kw):
+    from icl_tpu.models.swinunetr_icl import SwinUNETRICL
+
+    return SwinUNETRICL(in_chns=in_chns, class_num=class_num,
+                        img_size=patch_size, feature_size=feature_size,
+                        window_size=tuple(window_size))
