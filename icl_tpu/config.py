@@ -32,6 +32,7 @@ class ExperimentConfig:
     # Loss weights (per-dataset table, SURVEY.md §2.4)
     consis_weight: float = 50.0
     pse_weight: float = 1.0
+    seg_weight: float = 1.0  # AMOS supervised uses 0.5 (…AMOS22.py:198)
 
     # Optimizer (constant across the reference)
     momentum: float = 0.9

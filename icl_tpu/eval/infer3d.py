@@ -25,16 +25,28 @@ def _grid_starts(dim: int, patch: int, stride: int) -> list[int]:
     return [min(stride * i, dim - patch) for i in range(n)]
 
 
-def make_patch_predictor(model, patch_size: Sequence[int], sw_batch: int = 4) -> Callable:
-    """Returns probs(variables, patches[sw_batch, *patch, 1]) -> softmax
-    probabilities (jitted once for a fixed sw_batch)."""
+def make_patch_predictor(
+    model, patch_size: Sequence[int], sw_batch: int = 4,
+    apply_softmax: bool = True, dtype=None,
+) -> Callable:
+    """Returns fn(variables, patches[sw_batch, *patch, 1]) -> per-patch
+    scores, jitted once for a fixed sw_batch.
+
+    apply_softmax=True is the BraTS protocol (softmax then mean-stitch,
+    val_3D.py:63-66); apply_softmax=False stitches raw logits, the AMOS
+    protocol (MONAI sliding_window_inference stitches logits then argmax,
+    val_3D.py:128-133). `dtype` casts inputs (bf16 ≙ the reference's AMP
+    autocast at AMOS inference)."""
 
     @jax.jit
-    def _probs(variables, x):
+    def _scores(variables, x):
+        if dtype is not None:
+            x = x.astype(dtype)
         logits = model.apply(variables, x, train=False, inference=True)
-        return jax.nn.softmax(logits, axis=-1)
+        logits = logits.astype(jnp.float32)
+        return jax.nn.softmax(logits, axis=-1) if apply_softmax else logits
 
-    return _probs
+    return _scores
 
 
 def sliding_window_predict(
@@ -96,6 +108,32 @@ def sliding_window_predict(
             pads[2][0] : pads[2][0] + d,
         ]
     return label_map
+
+
+def evaluate_amos_cases(
+    scores_fn,
+    variables,
+    dataset,
+    num_classes: int = 16,
+    roi=(96, 96, 96),
+    sw_batch: int = 4,
+):
+    """test_all_case_amos protocol (val_3D.py:120-138): MONAI
+    sliding_window_inference(roi 96³, sw_batch 4, overlap 0.25 → stride
+    72) stitching logits, then argmax; per-organ (dice, hd95)."""
+    stride = int(roi[0] * 0.75)
+    metric_cal = [[] for _ in range(num_classes - 1)]
+    for i in range(len(dataset)):
+        item = dataset[i]
+        prediction = sliding_window_predict(
+            scores_fn, variables, item["image"], num_classes,
+            roi, stride, stride, sw_batch,
+        )
+        for cls in range(1, num_classes):
+            metric_cal[cls - 1].append(
+                calculate_metric_percase(item["label"] == cls, prediction == cls)
+            )
+    return metric_cal
 
 
 def evaluate_brats_cases(

@@ -23,9 +23,12 @@ from icl_tpu.train.state import TrainState
 
 
 def make_supervised_step(
-    model, tx: optax.GradientTransformation, num_classes: int
+    model, tx: optax.GradientTransformation, num_classes: int,
+    seg_weight: float = 1.0,
 ) -> Callable:
-    """CE + Dice on labeled batches (train_fully_supervised_unet_2D_ACDC.py:108-110)."""
+    """seg_weight·(CE + Dice) on labeled batches
+    (train_fully_supervised_unet_2D_ACDC.py:108-110; the AMOS supervised
+    script uses seg_weight 0.5, …unet_3D_AMOS22.py:198)."""
 
     def step(state: TrainState, batch, rng):
         x, y = batch["image"], batch["label"]
@@ -40,7 +43,7 @@ def make_supervised_step(
             )
             loss_ce = losses.cross_entropy_loss(logits, y)
             loss_dice = losses.multiclass_dice_loss(logits, y, num_classes, softmax=True)
-            loss = loss_ce + loss_dice
+            loss = seg_weight * (loss_ce + loss_dice)
             return loss, (mut["batch_stats"], {"loss": loss, "loss_ce": loss_ce,
                                                "loss_dice": loss_dice})
 

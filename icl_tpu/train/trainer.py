@@ -46,7 +46,9 @@ class Trainer:
                 cfg.patch_size, cfg.consis_weight, cfg.pse_weight,
             )
         else:
-            self._step_fn = make_supervised_step(self.model, self.tx, cfg.num_classes)
+            self._step_fn = make_supervised_step(
+                self.model, self.tx, cfg.num_classes, seg_weight=cfg.seg_weight
+            )
         self.step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
