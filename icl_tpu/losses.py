@@ -176,6 +176,80 @@ def entropy_minimization(p: jax.Array) -> jax.Array:
     return jnp.mean(-jnp.sum(p * jnp.log(p + 1e-6), axis=-1))
 
 
+def symmetric_mse_loss(input1: Sequence[jax.Array], input2: Sequence[jax.Array]) -> jax.Array:
+    """losses.py:115-128: per-scale MSE against the DETACHED first scale of
+    input1 (reference indexes input1[0] each iteration — kept), /3."""
+    ref = jax.lax.stop_gradient(input1[0])
+    loss = 0.0
+    for x2 in input2:
+        loss = loss + jnp.mean((ref - x2) ** 2)
+    return loss / 3.0
+
+
+def cos_sim_loss(input1: Sequence[jax.Array], input2: Sequence[jax.Array]) -> jax.Array:
+    """losses.py:185-192: 1 − cosine(input1[0], input2[0]) summed per
+    scale (reference always indexes [0] — kept), /3."""
+    a = input1[0].reshape(-1)
+    b = input2[0].reshape(-1)
+    cos = jnp.dot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b) + 1e-12)
+    return len(input1) * (1.0 - cos) / 3.0
+
+
+def focal_loss(logits: jax.Array, labels: jax.Array, gamma: float = 2.0,
+               alpha: jax.Array | None = None) -> jax.Array:
+    """FocalLoss (losses.py:149-183), channel-last, mean reduction."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    logpt = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    pt = jnp.exp(jax.lax.stop_gradient(logpt))
+    if alpha is not None:
+        at = jnp.asarray(alpha)[labels]
+        logpt = logpt * at
+    return jnp.mean(-((1.0 - pt) ** gamma) * logpt)
+
+
+def eam_loss(feat_maps: Sequence[jax.Array], labels: jax.Array,
+             spatial: Sequence[int] = (224, 224)) -> jax.Array:
+    """EAMLoss (losses.py:130-147): per-scale upsampled CE, /3."""
+    loss_ce = 0.0
+    for fm in feat_maps:
+        loss_ce = loss_ce + cross_entropy_loss(_resize_maps(fm, spatial), labels)
+    return loss_ce / 3.0
+
+
+def kd_loss(guidance_1: Sequence[jax.Array], guidance_2: Sequence[jax.Array],
+            temperature: float = 2.0) -> jax.Array:
+    """KD_Loss (losses.py:302-318): symmetric KL between temperature-
+    softened per-class query distributions; the reference keeps only the
+    LAST class index j per scale (loop overwrite) — kept."""
+    loss = 0.0
+    for g1, g2 in zip(guidance_1, guidance_2):
+        j = g1.shape[1] - 1
+        p1 = jax.nn.softmax(g1[:, j, :] / temperature, axis=1)
+        p2 = jax.nn.softmax(g2[:, j, :] / temperature, axis=1)
+        kl = (jnp.sum(p1 * jnp.log(p1 / p2)) + jnp.sum(p2 * jnp.log(p2 / p1))) / 2.0
+        loss = loss + kl
+    return loss / float(len(guidance_1))
+
+
+def entropy_loss_map(p: jax.Array) -> jax.Array:
+    """losses.py:328-331: per-position unnormalized entropy map."""
+    return -jnp.sum(p * jnp.log(p + 1e-6), axis=-1, keepdims=True)
+
+
+def compute_kl_loss(p: Sequence[jax.Array], q: Sequence[jax.Array]) -> jax.Array:
+    """losses.py:334-346: mean symmetric KL over scales (last-axis softmax)."""
+    loss = 0.0
+    for pn, qn in zip(p, q):
+        p_loss = jnp.mean(
+            jax.nn.softmax(qn, -1) * (jax.nn.log_softmax(qn, -1) - jax.nn.log_softmax(pn, -1))
+        )
+        q_loss = jnp.mean(
+            jax.nn.softmax(pn, -1) * (jax.nn.log_softmax(pn, -1) - jax.nn.log_softmax(qn, -1))
+        )
+        loss = loss + (p_loss + q_loss) / 2.0
+    return loss / len(q)
+
+
 def softmax_kl_loss(input_logits: jax.Array, target_logits: jax.Array) -> jax.Array:
     """KL(target || input) with 'mean' reduction over all elements
     (losses.py:93-112): matches torch F.kl_div(log_softmax(in), softmax(tg),

@@ -44,6 +44,27 @@ def _icl_unet(in_chns, class_num, patch_size: int = 256, **kw):
     return UNetICL(in_chns=in_chns, class_num=class_num, patch_size=patch_size)
 
 
+@register("unet_cct")
+def _unet_cct(in_chns, class_num, **kw):
+    from icl_tpu.models.unet2d_variants import UNetCCT
+
+    return UNetCCT(in_chns=in_chns, class_num=class_num)
+
+
+@register("unet_urpc")
+def _unet_urpc(in_chns, class_num, **kw):
+    from icl_tpu.models.unet2d_variants import UNetURPC
+
+    return UNetURPC(in_chns=in_chns, class_num=class_num)
+
+
+@register("unet_ds")
+def _unet_ds(in_chns, class_num, **kw):
+    from icl_tpu.models.unet2d_variants import UNetDS
+
+    return UNetDS(in_chns=in_chns, class_num=class_num)
+
+
 @register("swinunet")
 def _swinunet(in_chns, class_num, img_size: int = 224, window_size: int = 7, **kw):
     from icl_tpu.models.swin2d import SwinUnetWrapper

@@ -24,9 +24,34 @@ def save_pytree(path: str, tree: Any) -> None:
         f.write(serialization.to_bytes(tree))
 
 
-def load_pytree(path: str, target: Any) -> Any:
+def load_pytree(path: str, target: Any = None) -> Any:
+    """Load a msgpack pytree; with target=None restores raw nested dicts."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        data = f.read()
+    if target is None:
+        return serialization.msgpack_restore(data)
+    return serialization.from_bytes(target, data)
+
+
+def load_eval_variables(model, ckpt_path: str, example_input):
+    """Init a model on its inference path and overlay a (possibly
+    ICL-stripped) best checkpoint; missing subtrees keep their fresh init
+    (the stripped sspa/uscl heads are unused at inference). Returns
+    {'params', 'batch_stats'}."""
+    import jax
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        example_input,
+        train=False,
+        inference=True,
+    )
+    saved = load_pytree(ckpt_path)
+    params = dict(variables["params"])
+    params.update(saved.get("params", {}))
+    batch_stats = dict(variables.get("batch_stats", {}))
+    batch_stats.update(saved.get("batch_stats", {}))
+    return {"params": params, "batch_stats": batch_stats}
 
 
 def strip_icl_heads(params: dict) -> dict:

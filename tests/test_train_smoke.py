@@ -73,6 +73,15 @@ def test_icl_full_fit_loop(synth_root, tmp_path):
     assert "sspa" not in tree["params"] and "uscl" not in tree["params"]
     assert "encoder" in tree["params"] and "decoder" in tree["params"]
 
+    # offline-eval loading path: stripped ckpt + fresh heads, predict runs
+    import jax.numpy as jnp
+
+    from icl_tpu.utils.checkpoint import load_eval_variables
+
+    ev = load_eval_variables(tr.model, best, jnp.zeros((1, 16, 16, 1)))
+    pred = predict(ev, val_ds[0]["image"])
+    assert pred.shape == val_ds[0]["image"].shape
+
 
 def test_eval_volume_shapes(synth_root):
     """Batched slice predictor handles D not divisible by bucket and
