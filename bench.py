@@ -33,6 +33,9 @@ def main():
         batch_size=batch_size,
         labeled_bs=labeled_bs,
         max_iterations=30000,
+        # fast mode: bf16 MXU passes — comparable to the reference's torch
+        # 1.9 on A100, where TF32 matmuls/convs are on by default
+        precision="bfloat16",
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))

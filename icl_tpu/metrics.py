@@ -78,6 +78,39 @@ def calculate_metric_percase(pred: np.ndarray, gt: np.ndarray) -> tuple[float, f
     return 1.0, 0.0
 
 
+def pixel_accuracy(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Overall pixel accuracy over labeled (gt>=0) pixels
+    (utils/metrics.py SegmentationMetric pixAcc semantics)."""
+    labeled = gt >= 0
+    correct = np.count_nonzero((pred == gt) & labeled)
+    return correct / max(1, np.count_nonzero(labeled))
+
+
+def mean_iou(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> float:
+    """Mean intersection-over-union over classes present in gt∪pred
+    (utils/metrics.py mIoU semantics)."""
+    ious = []
+    for c in range(num_classes):
+        p = pred == c
+        g = gt == c
+        union = np.count_nonzero(p | g)
+        if union == 0:
+            continue
+        ious.append(np.count_nonzero(p & g) / union)
+    return float(np.mean(ious)) if ious else 0.0
+
+
+def jaccard_binary(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Binary Jaccard index (medpy.metric.binary.jc, used by
+    calculate_metric_dice_percase val_2D.py:25-33)."""
+    pred = np.asarray(pred).astype(bool)
+    gt = np.asarray(gt).astype(bool)
+    union = np.count_nonzero(pred | gt)
+    if union == 0:
+        return 0.0
+    return np.count_nonzero(pred & gt) / union
+
+
 def aggregate_case_metrics(metric_cal: list[list[tuple[float, float]]]):
     """Aggregate per-case (dice, hd95) lists per class the reference way
     (train_inherent_consistent_unet_2D.py:158-170): per-class mean/std

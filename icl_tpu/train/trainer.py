@@ -49,6 +49,16 @@ class Trainer:
             self._step_fn = make_supervised_step(
                 self.model, self.tx, cfg.num_classes, seg_weight=cfg.seg_weight
             )
+        # precision='float32' forces exact f32 matmuls/convs (parity mode);
+        # the default lets XLA use fast bf16 passes on the MXU (perf mode).
+        if cfg.precision == "float32":
+            inner = self._step_fn
+
+            def _fp32_step(state, batch, rng):
+                with jax.default_matmul_precision("highest"):
+                    return inner(state, batch, rng)
+
+            self._step_fn = _fp32_step
         self.step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
