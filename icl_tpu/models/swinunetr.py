@@ -115,15 +115,24 @@ class WindowAttention3D(nn.Module):
 
         qkv = SwinDense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
         qkv = qkv.reshape(B_, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
-        attn = attn + bias_table[rpi.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)[None]
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, H, N, N) + jnp.asarray(mask)[None, :, None]
-            attn = attn.reshape(B_, H, N, N)
-        attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        rel_bias = bias_table[rpi.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
+
+        from icl_tpu.ops.flags import use_pallas_attention
+
+        if use_pallas_attention():
+            from icl_tpu.ops.pallas.window_attention import window_attention_fused
+
+            m = jnp.asarray(mask) if mask is not None else None
+            out = window_attention_fused(q, k, v, rel_bias, m, scale=scale)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + rel_bias[None]
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, H, N, N) + jnp.asarray(mask)[None, :, None]
+                attn = attn.reshape(B_, H, N, N)
+            attn = nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return SwinDense(C, name="proj")(out)
 

@@ -1,0 +1,111 @@
+"""Fused window attention (Pallas TPU kernel).
+
+Computes, per (window, head):
+    out = softmax(q·kᵀ·scale + rel_pos_bias [+ shift_mask]) · v
+in one kernel — the scores tensor ([B·nW, H, N, N], the largest
+intermediate of every Swin block) lives only in VMEM instead of
+round-tripping through HBM.
+
+Window geometry is small (N = 49 for 2D window 7, 343 for 3D window 7³),
+so a whole window's scores fit comfortably in VMEM; the grid iterates
+(window, head). Inputs are the window-partitioned tensors the Swin
+blocks already produce (swinunet_icl.py:131-160 math).
+
+Enabled via `ICL_TPU_PALLAS=1` (see icl_tpu.ops.flags); the XLA einsum
+path remains the default and the numerical reference — the kernel is
+validated against it in interpret mode in tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, scale):
+    q = q_ref[0, 0].astype(jnp.float32)  # [N, D]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[0] + mask_ref[0]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out_ref[0, 0] = jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + bias_ref[0]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out_ref[0, 0] = jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def window_attention_fused(q, k, v, bias, mask=None, *, scale: float,
+                           interpret: bool = False):
+    """q, k, v: [B, H, N, D] (B = batch·num_windows); bias: [H, N, N];
+    mask: [nW, N, N] or None (B % nW == 0). Returns [B, H, N, D]."""
+    B, H, N, D = q.shape
+    grid = (B, H)
+    qkv_spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * B * H * (N * N * D * 2),
+        bytes_accessed=4 * B * H * N * D * 4,
+        transcendentals=B * H * N * N,
+    )
+    if mask is not None:
+        nW = mask.shape[0]
+        mask_spec = pl.BlockSpec((1, N, N), lambda b, h: (b % nW, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_masked, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+            out_specs=out_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v, bias, mask)
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=out_spec,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def window_attention_reference(q, k, v, bias, mask=None, *, scale: float):
+    """XLA einsum reference (identical math)."""
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + bias[None]
+    if mask is not None:
+        B, H, N, _ = q.shape
+        nW = mask.shape[0]
+        attn = attn.reshape(B // nW, nW, H, N, N) + mask[None, :, None]
+        attn = attn.reshape(B, H, N, N)
+    p = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
