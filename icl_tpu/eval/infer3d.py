@@ -11,6 +11,7 @@ stitching accumulates on host (one D2H per chunk). Identical numerics.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Callable, Sequence
 
 import jax
@@ -108,6 +109,95 @@ def sliding_window_predict(
             pads[2][0] : pads[2][0] + d,
         ]
     return label_map
+
+
+def make_fused_sliding_window(
+    model,
+    num_classes: int,
+    patch_size: Sequence[int] = (96, 96, 96),
+    sw_batch: int = 4,
+    apply_softmax: bool = True,
+):
+    """Fully-fused on-device sliding window: patch gather → chunked
+    batched forward (lax.map) → scatter-add stitch → argmax, ONE XLA
+    program per (padded volume shape, patch count) bucket — zero
+    per-patch host↔device traffic (SURVEY.md §7 design translation).
+
+    Returns predict(variables, image[np W,H,D], stride_xy, stride_z) →
+    label map. Volumes are padded to multiples of `bucket` per dim to
+    bound recompiles.
+    """
+    pw, ph, pd = patch_size
+
+    @partial(jax.jit, static_argnums=(2,))
+    def _run(variables, volume, n_chunks, starts):
+        # starts: [n_chunks*sw_batch, 3] (padded entries repeat start 0
+        # with zero weight)
+        def gather(s):
+            return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]), (pw, ph, pd))
+
+        def forward_chunk(chunk_starts_w):
+            chunk_starts, w = chunk_starts_w
+            patches = jax.vmap(gather)(chunk_starts)[..., None]
+            logits = model.apply(variables, patches, train=False, inference=True)
+            logits = logits.astype(jnp.float32)
+            scores = jax.nn.softmax(logits, -1) if apply_softmax else logits
+            return scores * w[:, None, None, None, None]
+
+        starts_c = starts.reshape(n_chunks, sw_batch, 4)
+        all_scores = jax.lax.map(
+            forward_chunk,
+            (starts_c[..., :3], starts_c[..., 3].astype(jnp.float32)),
+        )  # [n_chunks, sw_batch, pw, ph, pd, C]
+
+        score = jnp.zeros(volume.shape + (num_classes,), jnp.float32)
+        cnt = jnp.zeros(volume.shape, jnp.float32)
+        ones = jnp.ones((pw, ph, pd), jnp.float32)
+
+        def accumulate(i, carry):
+            score, cnt = carry
+            ci, pi = i // sw_batch, i % sw_batch
+            s = starts[i]
+            patch_scores = all_scores[ci, pi]
+            w = s[3].astype(jnp.float32)
+            idx = (s[0], s[1], s[2], 0)
+            cur = jax.lax.dynamic_slice(score, idx, (pw, ph, pd, num_classes))
+            score = jax.lax.dynamic_update_slice(score, cur + patch_scores, idx)
+            cur_c = jax.lax.dynamic_slice(cnt, idx[:3], (pw, ph, pd))
+            cnt = jax.lax.dynamic_update_slice(cnt, cur_c + ones * w, idx[:3])
+            return score, cnt
+
+        score, cnt = jax.lax.fori_loop(
+            0, n_chunks * sw_batch, accumulate, (score, cnt)
+        )
+        label = jnp.argmax(score / jnp.maximum(cnt, 1.0)[..., None], axis=-1)
+        return label.astype(jnp.uint8)
+
+    def predict(variables, image: np.ndarray, stride_xy: int = 64,
+                stride_z: int = 64, bucket: int = 32) -> np.ndarray:
+        w, h, d = image.shape
+        # pad to ≥ patch and to bucket multiples (bounded compile count)
+        tw = max(pw, math.ceil(w / bucket) * bucket)
+        th = max(ph, math.ceil(h / bucket) * bucket)
+        td = max(pd, math.ceil(d / bucket) * bucket)
+        pads = ((0, tw - w), (0, th - h), (0, td - d))
+        padded = np.pad(image, pads) if (tw, th, td) != (w, h, d) else image
+
+        starts = [
+            (xs, ys, zs, 1)
+            for xs in _grid_starts(tw, pw, stride_xy)
+            for ys in _grid_starts(th, ph, stride_xy)
+            for zs in _grid_starts(td, pd, stride_z)
+        ]
+        n = len(starts)
+        n_chunks = math.ceil(n / sw_batch)
+        while len(starts) < n_chunks * sw_batch:
+            starts.append((0, 0, 0, 0))  # weight-0 padding patches
+        starts_arr = jnp.asarray(np.asarray(starts, np.int32))
+        label = np.asarray(_run(variables, jnp.asarray(padded), n_chunks, starts_arr))
+        return label[:w, :h, :d]
+
+    return predict
 
 
 def evaluate_amos_cases(
