@@ -19,6 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# reruns hit the persistent compile cache (first compile of the 1.1B-param
+# ICL model is minutes; later runs are seconds)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/icl_tpu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 

@@ -41,9 +41,14 @@ class ExperimentConfig:
 
     # Eval cadence
     val_interval: int = 200
+    # Periodic resumable checkpointing (capability addition — the
+    # reference's --resume flag is parsed but dead, net_factory.py:48).
+    # 0 disables; N saves the full TrainState every N iterations.
+    checkpoint_interval: int = 0
 
     # TPU-native knobs
     precision: str = "float32"  # 'float32' (parity) | 'bfloat16' (perf)
+    remat: bool = False  # rematerialize forward in backprop (memory/flops)
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
     experiments_dir: str = "../experiments"

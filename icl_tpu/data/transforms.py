@@ -41,6 +41,66 @@ def zoom_to(image: np.ndarray, output_size, order: int = 0) -> np.ndarray:
     return zoom(image, (output_size[0] / x, output_size[1] / y), order=order)
 
 
+def color_jitter(image: np.ndarray, rng: np.random.Generator, s: float = 1.0):
+    """Grayscale-effective equivalent of torchvision
+    ColorJitter(0.8s, 0.8s, 0.8s, 0.2s) (dataset.py:95-103): random
+    brightness/contrast factors in [max(0, 1−0.8s), 1+0.8s]; saturation/
+    hue are no-ops on single-channel data."""
+    lo = max(0.0, 1.0 - 0.8 * s)
+    hi = 1.0 + 0.8 * s
+    b = rng.uniform(lo, hi)
+    c = rng.uniform(lo, hi)
+    out = image * b
+    mean = out.mean()
+    out = (out - mean) * c + mean
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+class WeakStrongAugment:
+    """FixMatch-style weak (rot/flip) + strong (color jitter) pair
+    (dataset.py:169-202); all images resized to output_size first."""
+
+    def __init__(self, output_size):
+        self.output_size = tuple(output_size)
+
+    def __call__(self, image, label, rng: np.random.Generator):
+        image = zoom_to(image, self.output_size, order=0)
+        label = zoom_to(label, self.output_size, order=0)
+        image_weak, label = random_rot_flip(image, label, rng)
+        image_strong = color_jitter(image_weak, rng)
+        return {
+            "image": image.astype(np.float32)[..., None],
+            "image_weak": image_weak.astype(np.float32)[..., None],
+            "image_strong": image_strong.astype(np.float32)[..., None],
+            "label_aug": label.astype(np.uint8),
+        }
+
+
+class CTATransform:
+    """CTAugment-policy weak/strong transform (dataset.py:106-144):
+    resize, then apply learned weak ops to image+label and strong ops on
+    top of the weak image."""
+
+    def __init__(self, output_size, cta):
+        self.output_size = tuple(output_size)
+        self.cta = cta
+
+    def __call__(self, image, label, ops_weak, ops_strong):
+        from icl_tpu.data.ctaugment import cta_apply
+
+        image = zoom_to(image, self.output_size, order=0)
+        label = zoom_to(label, self.output_size, order=0)
+        image_weak = cta_apply(image.astype(np.float32), ops_weak)
+        image_strong = cta_apply(image_weak, ops_strong)
+        label_aug = cta_apply(label.astype(np.float32) / 255.0, ops_weak)
+        label_aug = np.round(255 * label_aug).astype(np.int32)
+        return {
+            "image_weak": image_weak[..., None],
+            "image_strong": image_strong[..., None],
+            "label_aug": label_aug,
+        }
+
+
 class RandomGenerator:
     """The reference's RandomGenerator transform (dataset.py:147-166)."""
 

@@ -24,11 +24,15 @@ from icl_tpu.train.state import TrainState
 
 def make_supervised_step(
     model, tx: optax.GradientTransformation, num_classes: int,
-    seg_weight: float = 1.0,
+    seg_weight: float = 1.0, remat: bool = False,
 ) -> Callable:
     """seg_weight·(CE + Dice) on labeled batches
     (train_fully_supervised_unet_2D_ACDC.py:108-110; the AMOS supervised
-    script uses seg_weight 0.5, …unet_3D_AMOS22.py:198)."""
+    script uses seg_weight 0.5, …unet_3D_AMOS22.py:198).
+
+    remat=True rematerializes the forward during backprop (the TPU
+    equivalent of the reference's plumbed-but-off use_checkpoint,
+    SURVEY.md §2.6) — trades ~1 extra forward for activation memory."""
 
     def step(state: TrainState, batch, rng):
         x, y = batch["image"], batch["label"]
@@ -47,6 +51,8 @@ def make_supervised_step(
             return loss, (mut["batch_stats"], {"loss": loss, "loss_ce": loss_ce,
                                                "loss_dice": loss_dice})
 
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
@@ -73,6 +79,7 @@ def make_icl_step(
     patch_size: Sequence[int],
     consis_weight: float,
     pse_weight: float = 1.0,
+    remat: bool = False,
 ) -> Callable:
     """Semi-supervised ICL step (train_…unet_2D.py:117-130)."""
     patch = tuple(patch_size)
@@ -115,6 +122,8 @@ def make_icl_step(
             }
             return loss, (mut["batch_stats"], metrics)
 
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
         (loss, (new_bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )

@@ -44,10 +44,12 @@ class Trainer:
             self._step_fn = make_icl_step(
                 self.model, self.tx, cfg.num_classes, cfg.labeled_bs,
                 cfg.patch_size, cfg.consis_weight, cfg.pse_weight,
+                remat=cfg.remat,
             )
         else:
             self._step_fn = make_supervised_step(
-                self.model, self.tx, cfg.num_classes, seg_weight=cfg.seg_weight
+                self.model, self.tx, cfg.num_classes, seg_weight=cfg.seg_weight,
+                remat=cfg.remat,
             )
         # precision='float32' forces exact f32 matmuls/convs (parity mode);
         # the default lets XLA use fast bf16 passes on the MXU (perf mode).
@@ -81,6 +83,12 @@ class Trainer:
             state = shard_state(state, self.mesh)
         return state
 
+    def restore_state(self, state: TrainState, name: str = "last") -> TrainState:
+        """Resume from a periodic full-state checkpoint (fit() continues
+        from state.step). Elastic-recovery capability the reference
+        lacks (SURVEY.md §5)."""
+        return ckpt.load_train_state(self.cfg.snapshot_path, state, name=name)
+
     # ------------------------------------------------------------------
     def fit(
         self,
@@ -106,7 +114,9 @@ class Trainer:
             )
 
         best_performance = 0.0
-        iter_num = 0
+        iter_num = int(jax.device_get(state.step))
+        if iter_num:
+            logger.info("resuming from iteration %d", iter_num)
         t_start = time.perf_counter()
         from icl_tpu.train.optim import poly_lr_schedule
 
@@ -159,6 +169,10 @@ class Trainer:
                     )
                     ckpt.save_train_state(snapshot, state, name="best_full")
                     logger.info("saving best model at iter %d -> %s", iter_num, path)
+
+            if cfg.checkpoint_interval and iter_num % cfg.checkpoint_interval == 0:
+                ckpt.save_train_state(snapshot, state, name="last")
+                logger.info("periodic checkpoint at iter %d", iter_num)
 
             if iter_num >= cfg.max_iterations:
                 break

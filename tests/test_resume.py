@@ -1,0 +1,45 @@
+"""Periodic checkpoint + resume: a restored TrainState continues from
+its saved step with identical parameters."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icl_tpu.config import ExperimentConfig
+from icl_tpu.train.trainer import Trainer
+
+
+def _batch(rng, n=4, s=16):
+    return {
+        "image": jnp.asarray(rng.normal(size=(n, s, s, 1)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 4, size=(n, s, s)).astype(np.int32)),
+    }
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    cfg = ExperimentConfig(
+        model="unet", patch_size=(16, 16), batch_size=4, max_iterations=100,
+        experiments_dir=str(tmp_path), exp="resume",
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        state, _ = tr.step_jit(state, _batch(rng), jax.random.PRNGKey(i))
+
+    from icl_tpu.utils.checkpoint import save_train_state
+
+    save_train_state(cfg.snapshot_path, state, name="last")
+    saved_leaf = np.asarray(jax.device_get(state.params["decoder"]["out_conv"]["Conv_0"]["kernel"]))
+
+    tr2 = Trainer(cfg)
+    fresh = tr2.init_state(jax.random.PRNGKey(42))
+    restored = tr2.restore_state(fresh, name="last")
+    assert int(jax.device_get(restored.step)) == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["decoder"]["out_conv"]["Conv_0"]["kernel"]),
+        saved_leaf,
+    )
+    # and training continues
+    restored, m = tr2.step_jit(restored, _batch(rng), jax.random.PRNGKey(9))
+    assert int(jax.device_get(restored.step)) == 4
+    assert np.isfinite(float(m["loss"]))
