@@ -49,6 +49,10 @@ class ExperimentConfig:
     # TPU-native knobs
     precision: str = "float32"  # 'float32' (parity) | 'bfloat16' (perf)
     remat: bool = False  # rematerialize forward in backprop (memory/flops)
+    # Gradient accumulation (the reference parses --accumulation-steps but
+    # never uses it, net_factory.py:49-50; here it works via
+    # optax.MultiSteps). 1 = off.
+    grad_accum: int = 1
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
     experiments_dir: str = "../experiments"

@@ -104,6 +104,15 @@ def random_noise_3d(image, rng, mu=0.0, sigma=0.1):
     return image + noise + mu
 
 
+def create_onehot_label(label: np.ndarray, num_classes: int) -> np.ndarray:
+    """CreateOnehotLabel (brats2019.py:163-174; unused by entry scripts):
+    channel-LAST one-hot [D, H, W, C] float32."""
+    onehot = np.zeros(label.shape + (num_classes,), np.float32)
+    for c in range(num_classes):
+        onehot[..., c] = (label == c).astype(np.float32)
+    return onehot
+
+
 def brats_train_batches(
     dataset: BraTS2019Dataset,
     labeled_count: int,

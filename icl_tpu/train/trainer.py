@@ -40,6 +40,10 @@ class Trainer:
             cfg.base_lr, cfg.max_iterations, cfg.momentum, cfg.weight_decay,
             cfg.poly_power,
         )
+        if cfg.grad_accum > 1:
+            import optax
+
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=cfg.grad_accum)
         if self.is_icl:
             self._step_fn = make_icl_step(
                 self.model, self.tx, cfg.num_classes, cfg.labeled_bs,
@@ -125,8 +129,10 @@ class Trainer:
         for batch in train_batches:
             rng, step_rng = jax.random.split(rng)
             device_batch = {
-                "image": jnp.asarray(batch["image"]),
-                "label": jnp.asarray(batch["label"]),
+                "image": jnp.asarray(batch["image"], jnp.float32),
+                # normalize label dtype so compile-cache keys are stable
+                # across pipelines (uint8 vs int32 would re-specialize)
+                "label": jnp.asarray(batch["label"], jnp.int32),
             }
             state, metrics = self.step_jit(state, device_batch, step_rng)
             iter_num += 1
