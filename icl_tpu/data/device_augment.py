@@ -49,9 +49,10 @@ def _rotate_nearest(img: jax.Array, angle_deg: jax.Array) -> jax.Array:
     yy, xx = jnp.meshgrid(jnp.arange(s) - c, jnp.arange(s) - c, indexing="ij")
     src_y = cos * yy - sin * xx + c
     src_x = sin * yy + cos * xx + c
-    iy = jnp.round(src_y).astype(jnp.int32)
-    ix = jnp.round(src_x).astype(jnp.int32)
-    valid = (iy >= 0) & (iy < s) & (ix >= 0) & (ix < s)
+    iy = jnp.floor(src_y + 0.5).astype(jnp.int32)
+    ix = jnp.floor(src_x + 0.5).astype(jnp.int32)
+    # scipy validity rule: UNROUNDED coordinate within [0, size-1]
+    valid = (src_y >= 0) & (src_y <= s - 1) & (src_x >= 0) & (src_x <= s - 1)
     iy = jnp.clip(iy, 0, s - 1)
     ix = jnp.clip(ix, 0, s - 1)
     out = img[..., iy, ix]

@@ -19,6 +19,8 @@ import numpy as np
 from scipy import ndimage
 from scipy.ndimage import zoom
 
+from icl_tpu import native
+
 
 def random_rot_flip(image: np.ndarray, label: np.ndarray, rng: np.random.Generator):
     k = int(rng.integers(0, 4))
@@ -30,13 +32,20 @@ def random_rot_flip(image: np.ndarray, label: np.ndarray, rng: np.random.Generat
 
 def random_rotate(image: np.ndarray, label: np.ndarray, rng: np.random.Generator):
     angle = int(rng.integers(-20, 20))
+    if native.available():
+        return (native.rotate_nearest(image.astype(np.float32), angle),
+                native.rotate_nearest(label, angle))
     image = ndimage.rotate(image, angle, order=0, reshape=False)
     label = ndimage.rotate(label, angle, order=0, reshape=False)
     return image, label
 
 
 def zoom_to(image: np.ndarray, output_size, order: int = 0) -> np.ndarray:
-    """scipy order-0 zoom to `output_size` (dataset.py:161-162)."""
+    """scipy order-0 zoom to `output_size` (dataset.py:161-162); routed
+    through the native C++ kernel when built (exact-match semantics)."""
+    if order == 0 and native.available() and image.ndim == 2:
+        if image.dtype == np.float32 or image.dtype == np.uint8:
+            return native.zoom_nearest(image, output_size)
     x, y = image.shape
     return zoom(image, (output_size[0] / x, output_size[1] / y), order=order)
 
