@@ -41,6 +41,10 @@ class ExperimentConfig:
 
     # Eval cadence
     val_interval: int = 200
+    # Scalar-logging cadence. 1 = every iteration (reference behavior,
+    # train_…unet_2D.py:137-146) but forces a device sync per step; the
+    # TPU step runs ~240/s, so raising this lets the device run ahead.
+    log_interval: int = 1
     # Periodic resumable checkpointing (capability addition — the
     # reference's --resume flag is parsed but dead, net_factory.py:48).
     # 0 disables; N saves the full TrainState every N iterations.

@@ -61,8 +61,15 @@ def strip_icl_heads(params: dict) -> dict:
 
 def save_best_model(snapshot_path: str, params: dict, batch_stats: dict) -> str:
     path = os.path.join(snapshot_path, "model", "model_best.msgpack")
-    save_pytree(path, {"params": strip_icl_heads(params),
-                       "batch_stats": strip_icl_heads(batch_stats)})
+    # strip BEFORE device_get: for ICL models the dropped heads hold the
+    # giant token-MLPs (~99% of bytes)
+    save_pytree(
+        path,
+        jax.device_get(
+            {"params": strip_icl_heads(params),
+             "batch_stats": strip_icl_heads(batch_stats)}
+        ),
+    )
     return path
 
 
