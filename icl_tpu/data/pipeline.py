@@ -119,7 +119,17 @@ def device_stream(
     put: Callable[[dict], dict] | None = None,
     prefetch: int = 2,
 ) -> Iterator[dict]:
-    """Prefetch host batches and optionally map a device_put fn."""
-    it = Prefetcher(batches, buffer_size=prefetch)
-    for b in it:
-        yield put(b) if put is not None else b
+    """Prefetch host batches with device_put running INSIDE the
+    background thread, so H2D transfer overlaps the device step."""
+    if put is None:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        def put(b):
+            return {
+                "image": jax.device_put(np.asarray(b["image"], np.float32)),
+                "label": jax.device_put(np.asarray(b["label"], np.int32)),
+            }
+
+    return iter(Prefetcher((put(b) for b in batches), buffer_size=prefetch))

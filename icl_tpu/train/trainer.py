@@ -128,12 +128,15 @@ class Trainer:
 
         for batch in train_batches:
             rng, step_rng = jax.random.split(rng)
-            device_batch = {
-                "image": jnp.asarray(batch["image"], jnp.float32),
-                # normalize label dtype so compile-cache keys are stable
-                # across pipelines (uint8 vs int32 would re-specialize)
-                "label": jnp.asarray(batch["label"], jnp.int32),
-            }
+            if isinstance(batch["image"], jax.Array):
+                device_batch = batch  # already device-put by the pipeline
+            else:
+                device_batch = {
+                    "image": jnp.asarray(batch["image"], jnp.float32),
+                    # stable dtypes keep compile-cache keys stable across
+                    # pipelines (uint8 labels would re-specialize)
+                    "label": jnp.asarray(batch["label"], jnp.int32),
+                }
             state, metrics = self.step_jit(state, device_batch, step_rng)
             iter_num += 1
 
