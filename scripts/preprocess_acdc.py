@@ -10,6 +10,12 @@ label under the h5 key 'mask' while the training loader reads 'label'
 (dataset.py:64); we write 'label' to match the loader.
 """
 import argparse
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import glob
 import os
 

@@ -10,6 +10,12 @@ single `data/{case}.h5` tree matching the BraTS2019 loader
 trees.
 """
 import argparse
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import glob
 import os
 

@@ -8,6 +8,12 @@ split (test_2D_ACDC.py:216-234 aggregation; the reference's truncated
 val_2D.py:11-23).
 """
 import argparse
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 import jax

@@ -3,6 +3,12 @@
 equivalent sliding-window (96³, sw_batch 4, bf16 ≙ AMP, logits
 stitching), per-organ Dice/HD95 on validation[val_num:]."""
 import argparse
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 import jax

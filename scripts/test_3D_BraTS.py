@@ -2,6 +2,12 @@
 """Offline BraTS2019 evaluation (reference `code/test_3D_BraTS.py`):
 sliding-window (96³, stride 64) whole-tumor Dice/HD95 over val_test."""
 import argparse
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 import jax

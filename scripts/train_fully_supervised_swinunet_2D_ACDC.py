@@ -4,6 +4,12 @@
 CLI shim for the reference script (train_fully_supervised_swinunet_2D_ACDC.py)."""
 import argparse
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 
 from icl_tpu.config import ExperimentConfig

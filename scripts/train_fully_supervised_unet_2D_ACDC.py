@@ -6,6 +6,12 @@ CLI shim mirroring the reference script's flags
 """
 import argparse
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 from icl_tpu.config import ExperimentConfig
 from icl_tpu.data.acdc import ACDCDataset, patients_to_slices
 from icl_tpu.data.pipeline import Prefetcher, supervised_batches

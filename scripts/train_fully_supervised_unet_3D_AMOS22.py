@@ -5,6 +5,12 @@ CLI shim for the reference script (train_fully_supervised_unet_3D_AMOS22.py;
 loss = 0.5·(CE + Dice), :198)."""
 import argparse
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 
 from icl_tpu.config import ExperimentConfig

@@ -6,6 +6,12 @@ note the reference file itself cannot run — it imports a nonexistent
 `dataloaders.utils`, SURVEY.md §7 known defects)."""
 import argparse
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 
 from icl_tpu.config import ExperimentConfig

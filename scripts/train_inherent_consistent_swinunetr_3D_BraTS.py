@@ -8,6 +8,12 @@ via --ssl_ckpt (torch, converted; reference key remap :77-99).
 """
 import argparse
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 
 from icl_tpu.config import ExperimentConfig

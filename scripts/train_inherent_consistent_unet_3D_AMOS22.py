@@ -9,6 +9,12 @@ sliding-window (logits stitching, stride 72).
 """
 import argparse
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 
 from icl_tpu.config import ExperimentConfig
