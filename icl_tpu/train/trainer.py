@@ -70,17 +70,21 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
         cfg = self.cfg
-        h, w = cfg.patch_size
+        spatial = tuple(cfg.patch_size)  # 2D (H, W) or 3D (D, H, W)
         p_rng, d_rng = jax.random.split(rng)
         rngs = {"params": p_rng, "dropout": d_rng}
         if self.is_icl:
-            xl = jnp.zeros((cfg.labeled_bs, h, w, cfg.in_chns), jnp.float32)
-            xu = jnp.zeros((cfg.batch_size - cfg.labeled_bs, h, w, cfg.in_chns), jnp.float32)
+            xl = jnp.zeros((cfg.labeled_bs, *spatial, cfg.in_chns), jnp.float32)
+            xu = jnp.zeros(
+                (cfg.batch_size - cfg.labeled_bs, *spatial, cfg.in_chns), jnp.float32
+            )
             variables = self.model.init(rngs, xl, xu, train=True)
         else:
-            x = jnp.zeros((cfg.batch_size, h, w, cfg.in_chns), jnp.float32)
+            x = jnp.zeros((cfg.batch_size, *spatial, cfg.in_chns), jnp.float32)
             variables = self.model.init(rngs, x, train=True)
-        state = TrainState.create(variables["params"], variables["batch_stats"], self.tx)
+        state = TrainState.create(
+            variables["params"], variables.get("batch_stats", {}), self.tx
+        )
         if self.mesh is not None:
             from icl_tpu.parallel.mesh import shard_state
 

@@ -115,6 +115,27 @@ def test_sliding_window_matches_bruteforce():
     np.testing.assert_array_equal(got, want)
 
 
+def test_trainer_3d_step():
+    """Trainer must handle 3D patch sizes end to end (regression: init
+    unpacked (h, w))."""
+    from icl_tpu.config import ExperimentConfig
+    from icl_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig(model="unet_3D_icl", patch_size=(16, 16, 16),
+                           batch_size=2, labeled_bs=1, num_classes=2,
+                           max_iterations=10, consis_weight=10.0)
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 2, size=(2, 16, 16, 16)), jnp.int32),
+    }
+    state, m = tr.step_jit(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert int(jax.device_get(state.step)) == 1
+
+
 def test_sliding_window_pads_small_volume():
     image = np.zeros((5, 6, 7), np.float32)
     probs_fn = make_patch_predictor(_ToyNet(), (8, 8, 8), sw_batch=2)
