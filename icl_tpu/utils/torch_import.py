@@ -192,6 +192,37 @@ def overlay_state(state, params_sub: dict, batch_stats_sub: dict):
     return state.replace(params=new_params, batch_stats=new_bs)
 
 
+def f2t_conv(w: np.ndarray) -> np.ndarray:
+    nd = w.ndim
+    return np.transpose(w, (nd - 1, nd - 2) + tuple(range(nd - 2)))
+
+
+def f2t_convT(w: np.ndarray) -> np.ndarray:
+    nd = w.ndim
+    w = np.transpose(w, (nd - 2, nd - 1) + tuple(range(nd - 2)))
+    return np.flip(w, axis=tuple(range(2, nd)))
+
+
+def export_unet2d(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
+    """Inverse of convert_unet2d: icl_tpu UNet params → reference-dialect
+    torch state_dict (numpy values; wrap with torch.from_numpy to save a
+    .pth loadable by the reference's test scripts)."""
+    inverse = {None: lambda v: v, t2f_conv: f2t_conv, t2f_convT: f2t_convT,
+               t2f_linear: lambda v: v.T}
+    out: Dict[str, np.ndarray] = {}
+    for t_key, f_path, tf in unet2d_key_table():
+        src = batch_stats if f_path[0] == "__bs__" else params
+        path = f_path[1:] if f_path[0] == "__bs__" else f_path
+        node = src
+        try:
+            for k in path:
+                node = node[k]
+        except (KeyError, TypeError):
+            continue
+        out[t_key] = inverse[tf](np.asarray(node))
+    return out
+
+
 # ---- Swin dialects ----------------------------------------------------------
 def imagenet_swin_remap(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Dialect-2 key surgery (vision_transformer.py:111-146): encoder

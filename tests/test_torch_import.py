@@ -131,6 +131,28 @@ def test_unet2d_converter_structure():
     assert n_leaves == n_ref
 
 
+def test_export_roundtrip():
+    """params -> torch dialect -> params is the identity."""
+    from icl_tpu.models.registry import net_factory
+
+    m = net_factory("unet", 1, 4)
+    v = m.init({"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+               jnp.zeros((1, 16, 16, 1)), train=True)
+    sd = ti.export_unet2d(jax.device_get(v["params"]), jax.device_get(v["batch_stats"]))
+    params2, bs2, missing = ti.convert_unet2d(sd)
+    assert not missing
+
+    def cmp(a, b):
+        for k, val in a.items():
+            if isinstance(val, dict):
+                cmp(val, b[k])
+            else:
+                np.testing.assert_array_equal(np.asarray(val), np.asarray(b[k]))
+
+    cmp(params2, v["params"])
+    cmp(bs2, v["batch_stats"])
+
+
 def test_imagenet_swin_remap():
     sd = {"layers.0.blocks.0.norm1.weight": np.ones(3), "head.weight": np.ones(2)}
     out = ti.imagenet_swin_remap(sd)
