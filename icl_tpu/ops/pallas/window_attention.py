@@ -57,11 +57,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def window_attention_fused(q, k, v, bias, mask=None, *, scale: float,
-                           interpret: bool = False):
-    """q, k, v: [B, H, N, D] (B = batch·num_windows); bias: [H, N, N];
-    mask: [nW, N, N] or None (B % nW == 0). Returns [B, H, N, D]."""
+def _fused_forward(q, k, v, bias, mask, scale: float, interpret: bool):
     B, H, N, D = q.shape
     grid = (B, H)
     qkv_spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
@@ -97,6 +93,52 @@ def window_attention_fused(q, k, v, bias, mask=None, *, scale: float,
         cost_estimate=cost,
         interpret=interpret,
     )(q, k, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_attention(q, k, v, bias, mask, scale, interpret):
+    return _fused_forward(q, k, v, bias, mask, scale, interpret)
+
+
+def _fused_attention_fwd(q, k, v, bias, mask, scale, interpret):
+    out = _fused_forward(q, k, v, bias, mask, scale, interpret)
+    return out, (q, k, v, bias, mask)
+
+
+def _fused_attention_bwd(scale, interpret, res, g):
+    """Flash-style backward: recompute softmax in XLA (the scores tensor
+    never persisted in the forward), standard attention gradients incl.
+    the relative-position-bias grad (a trained parameter)."""
+    q, k, v, bias, mask = res
+    B, H, N, D = q.shape
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nW = mask.shape[0]
+        s = s.reshape(B // nW, nW, H, N, N) + mask[None, :, None]
+        s = s.reshape(B, H, N, N)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, g32)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", g32, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q) * scale
+    dbias = ds.sum(axis=0).astype(bias.dtype)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias, dmask)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def window_attention_fused(q, k, v, bias, mask=None, *, scale: float,
+                           interpret: bool = False):
+    """q, k, v: [B, H, N, D] (B = batch·num_windows); bias: [H, N, N];
+    mask: [nW, N, N] or None (B % nW == 0). Returns [B, H, N, D].
+    Differentiable: fused Pallas forward + XLA recompute backward."""
+    return _fused_attention(q, k, v, bias, mask, scale, interpret)
 
 
 def window_attention_reference(q, k, v, bias, mask=None, *, scale: float):
