@@ -56,6 +56,31 @@ def make_slice_predictor(model, patch_size, bucket: int = 32) -> Callable:
     return predict
 
 
+def generate_pseudo_labels(predict, variables, dataset, root_path: str,
+                           patch_size=(224, 224)) -> int:
+    """Write per-slice pseudo-label h5 files for self-training rounds
+    (val_2D.py:89-109: {root}/slices_iter1/{case}_slice_{i}.h5 with the
+    ORIGINAL image and the predicted label). Returns #slices written."""
+    import os
+
+    import h5py
+
+    out_dir = os.path.join(root_path, "slices_iter1")
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    for i in range(len(dataset)):
+        item = dataset[i]
+        image = item["image"]
+        prediction = predict(variables, image)
+        for d in range(image.shape[0]):
+            path = os.path.join(out_dir, f"{item['case']}_slice_{d + 1}.h5")
+            with h5py.File(path, "w") as f:
+                f.create_dataset("image", data=image[d], compression="gzip")
+                f.create_dataset("label", data=prediction[d], compression="gzip")
+            count += 1
+    return count
+
+
 def evaluate_acdc_volumes(predict, variables, dataset, num_classes: int):
     """Run the full val protocol over a volume dataset; returns the
     reference aggregation (train_…unet_2D.py:150-170)."""

@@ -82,6 +82,14 @@ def test_icl_full_fit_loop(synth_root, tmp_path):
     pred = predict(ev, val_ds[0]["image"])
     assert pred.shape == val_ds[0]["image"].shape
 
+    # pseudo-label generation path (val_2D.py:89-109 equivalent)
+    from icl_tpu.eval.infer2d import generate_pseudo_labels
+
+    n = generate_pseudo_labels(predict, ev, val_ds, synth_root, (16, 16))
+    assert n == sum(val_ds[i]["image"].shape[0] for i in range(len(val_ds)))
+    import glob
+    assert len(glob.glob(os.path.join(synth_root, "slices_iter1", "*.h5"))) == n
+
 
 def test_eval_volume_shapes(synth_root):
     """Batched slice predictor handles D not divisible by bucket and
