@@ -40,6 +40,26 @@ def host_local_batches(global_batches: Iterator[dict], process_index: int,
         yield host_slice(b, process_index, process_count)
 
 
+def all_gather_case_metrics(local_metric_cal: list[list[tuple[float, float]]]):
+    """Gather per-case (dice, hd95) lists from all hosts (the TPU-native
+    stand-in for the reference's dead `distributed_all_gather`,
+    utils/metrics.py:38-66). Single-process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        return local_metric_cal
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray(local_metric_cal, np.float64), tiled=False
+    )  # [P, C, cases, 2]
+    num_classes = gathered.shape[1]
+    return [
+        [tuple(row) for proc in gathered for row in proc[c]]
+        for c in range(num_classes)
+    ]
+
+
 def make_global_array(local_batch: dict, mesh, spec=None):
     """Assemble per-host local row blocks into one global sharded array
     (DCN scale-out; identity layout on a single host)."""
