@@ -100,18 +100,20 @@ def _unet_3d_icl(in_chns, class_num, patch_size: int = 96, **kw):
 
 @register("swinunetr")
 def _swinunetr(in_chns, class_num, feature_size: int = 48,
-               window_size=(7, 7, 7), **kw):
+               window_size=(7, 7, 7), remat: bool = False, **kw):
     from icl_tpu.models.swinunetr import SwinUNETR
 
     return SwinUNETR(in_chns=in_chns, class_num=class_num,
-                     feature_size=feature_size, window_size=tuple(window_size))
+                     feature_size=feature_size, window_size=tuple(window_size),
+                     remat=remat)
 
 
 @register("swinunetr_icl")
 def _swinunetr_icl(in_chns, class_num, patch_size: int = 96,
-                   feature_size: int = 48, window_size=(7, 7, 7), **kw):
+                   feature_size: int = 48, window_size=(7, 7, 7),
+                   remat: bool = False, **kw):
     from icl_tpu.models.swinunetr_icl import SwinUNETRICL
 
     return SwinUNETRICL(in_chns=in_chns, class_num=class_num,
                         img_size=patch_size, feature_size=feature_size,
-                        window_size=tuple(window_size))
+                        window_size=tuple(window_size), remat=remat)

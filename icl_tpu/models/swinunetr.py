@@ -148,7 +148,7 @@ class SwinBlock3D(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         B, D, Hd, W, C = x.shape
         ws, ss = get_window_size_3d((D, Hd, W), self.window_size, self.shift_size)
 
@@ -225,10 +225,17 @@ class SwinViT3D(nn.Module):
     window_size: Sequence[int] = (7, 7, 7)
     drop_path_rate: float = 0.0
     normalize: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        # Block-level rematerialization: 3D Swin activations are the HBM
+        # peak of the backward pass (the reference plumbs use_checkpoint
+        # for exactly this, swinunetr_icl.py:905-915).
+        Block = (
+            nn.remat(SwinBlock3D, static_argnums=(2,)) if self.remat else SwinBlock3D
+        )
         # PatchEmbed: conv k=s=2 (torch default init)
         x = TorchConv(self.embed_dim, (2, 2, 2), strides=(2, 2, 2),
                       name="patch_embed_proj")(x)
@@ -241,11 +248,11 @@ class SwinViT3D(nn.Module):
                     if b % 2 == 0
                     else tuple(w // 2 for w in self.window_size)
                 )
-                x = SwinBlock3D(
+                x = Block(
                     dim, self.num_heads[i], self.window_size, shift,
                     drop_path=dpr[sum(self.depths[:i]) + b],
                     name=f"layers{i + 1}_block{b}",
-                )(x, train=train)
+                )(x, train)
             x = PatchMerging3D(dim, name=f"layers{i + 1}_downsample")(x)
             outs.append(layer_norm_no_affine(x) if self.normalize else x)
         return outs
@@ -305,24 +312,27 @@ class SwinUNETR(nn.Module):
     window_size: Sequence[int] = (7, 7, 7)
     drop_path_rate: float = 0.0
     return_feats: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, inference: bool = False):
         fs = self.feature_size
+        Res = nn.remat(UnetResBlock) if self.remat else UnetResBlock
+        Up = nn.remat(UnetrUpBlock) if self.remat else UnetrUpBlock
         hs = SwinViT3D(
             self.in_chns, fs, self.depths, self.num_heads, self.window_size,
-            self.drop_path_rate, name="swinViT",
+            self.drop_path_rate, remat=self.remat, name="swinViT",
         )(x, train=train)
-        enc0 = UnetResBlock(fs, name="encoder1")(x)
-        enc1 = UnetResBlock(fs, name="encoder2")(hs[0])
-        enc2 = UnetResBlock(2 * fs, name="encoder3")(hs[1])
-        enc3 = UnetResBlock(4 * fs, name="encoder4")(hs[2])
-        dec4 = UnetResBlock(16 * fs, name="encoder10")(hs[4])
-        dec3 = UnetrUpBlock(8 * fs, name="decoder5")(dec4, hs[3])
-        dec2 = UnetrUpBlock(4 * fs, name="decoder4")(dec3, enc3)
-        dec1 = UnetrUpBlock(2 * fs, name="decoder3")(dec2, enc2)
-        dec0 = UnetrUpBlock(fs, name="decoder2")(dec1, enc1)
-        out = UnetrUpBlock(fs, name="decoder1")(dec0, enc0)
+        enc0 = Res(fs, name="encoder1")(x)
+        enc1 = Res(fs, name="encoder2")(hs[0])
+        enc2 = Res(2 * fs, name="encoder3")(hs[1])
+        enc3 = Res(4 * fs, name="encoder4")(hs[2])
+        dec4 = Res(16 * fs, name="encoder10")(hs[4])
+        dec3 = Up(8 * fs, name="decoder5")(dec4, hs[3])
+        dec2 = Up(4 * fs, name="decoder4")(dec3, enc3)
+        dec1 = Up(2 * fs, name="decoder3")(dec2, enc2)
+        dec0 = Up(fs, name="decoder2")(dec1, enc1)
+        out = Up(fs, name="decoder1")(dec0, enc0)
         logits = TorchConv(self.class_num, (1, 1, 1), name="out")(out)
         if self.return_feats:
             return logits, [dec3, dec2, dec1, dec0]

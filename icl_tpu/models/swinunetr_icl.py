@@ -23,13 +23,14 @@ class SwinUNETRICL(nn.Module):
     feature_size: int = 48
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: Sequence[int] = (7, 7, 7)
+    remat: bool = False
 
     def setup(self):
         fs = self.feature_size
         self.backbone = SwinUNETR(
             in_chns=self.in_chns, class_num=self.class_num, feature_size=fs,
             num_heads=self.num_heads, window_size=self.window_size,
-            return_feats=True,
+            return_feats=True, remat=self.remat,
         )
         icl_kwargs = dict(
             in_chans=(8 * fs, 4 * fs, 2 * fs),

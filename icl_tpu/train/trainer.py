@@ -33,6 +33,11 @@ class Trainer:
         model_kwargs = {}
         if self.is_icl:
             model_kwargs["patch_size"] = int(cfg.patch_size[0])
+        # swinunetr models take block-level remat (the effective form for
+        # 3D Swin HBM peaks); other models use step-level remat below.
+        model_remat = cfg.remat and cfg.model.startswith("swinunetr")
+        if model_remat:
+            model_kwargs["remat"] = True
         self.model = net_factory(
             cfg.model, in_chns=cfg.in_chns, class_num=cfg.num_classes, **model_kwargs
         )
@@ -44,16 +49,17 @@ class Trainer:
             import optax
 
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=cfg.grad_accum)
+        step_remat = cfg.remat and not model_remat
         if self.is_icl:
             self._step_fn = make_icl_step(
                 self.model, self.tx, cfg.num_classes, cfg.labeled_bs,
                 cfg.patch_size, cfg.consis_weight, cfg.pse_weight,
-                remat=cfg.remat,
+                remat=step_remat,
             )
         else:
             self._step_fn = make_supervised_step(
                 self.model, self.tx, cfg.num_classes, seg_weight=cfg.seg_weight,
-                remat=cfg.remat,
+                remat=step_remat,
             )
         # precision='float32' forces exact f32 matmuls/convs (parity mode);
         # the default lets XLA use fast bf16 passes on the MXU (perf mode).

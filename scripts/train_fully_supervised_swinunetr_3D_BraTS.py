@@ -49,6 +49,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
+        remat=True,  # keep 3D Swin activations within HBM
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train", num=cfg.labeled_num)
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")

@@ -56,6 +56,9 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         labeled_bs=args.labeled_bs, val_interval=args.val_interval,
         consis_weight=10.0,
+        # 844M params + 3D Swin activations exceed 16GB HBM without
+        # gradient rematerialization
+        remat=True,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train")
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")
