@@ -179,7 +179,7 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
         H, W = self.input_resolution
         ws, shift = self.window_size, self.shift_size
         if min(H, W) <= ws:
@@ -275,6 +275,9 @@ class SwinConfig:
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     ape: bool = False
+    # block-level gradient rematerialization (the reference's plumbed-but-
+    # off use_checkpoint, swinunet_icl.py:471-472)
+    remat: bool = False
 
 
 class SwinUNet2D(nn.Module):
@@ -293,6 +296,7 @@ class SwinUNet2D(nn.Module):
         num_layers = len(cfg.depths)
         pr = cfg.img_size // cfg.patch_size  # 56
         dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
+        Block = nn.remat(SwinBlock, static_argnums=(2,)) if cfg.remat else SwinBlock
 
         # --- Patch embed (conv k=s=patch, torch-default init) ---
         from icl_tpu.models.layers import TorchConv
@@ -311,13 +315,13 @@ class SwinUNet2D(nn.Module):
             res = (pr // 2**i, pr // 2**i)
             skips.append(x)
             for b in range(cfg.depths[i]):
-                x = SwinBlock(
+                x = Block(
                     dim, res, cfg.num_heads[i], cfg.window_size,
                     shift_size=0 if b % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio,
                     drop_path=dpr[sum(cfg.depths[:i]) + b],
                     name=f"layers{i}_block{b}",
-                )(x, train=train)
+                )(x, train)
             if i < num_layers - 1:
                 x = PatchMerging(dim, name=f"layers{i}_downsample")(x)
         x = SwinLayerNorm(name="norm")(x)  # bottleneck [B, 7, 7, 768]
@@ -334,13 +338,13 @@ class SwinUNet2D(nn.Module):
                 x = SwinDense(dim, name=f"concat_back_dim{i}")(x)
                 li = num_layers - 1 - i
                 for b in range(cfg.depths[li]):
-                    x = SwinBlock(
+                    x = Block(
                         dim, res, cfg.num_heads[li], cfg.window_size,
                         shift_size=0 if b % 2 == 0 else cfg.window_size // 2,
                         mlp_ratio=cfg.mlp_ratio,
                         drop_path=dpr[sum(cfg.depths[:li]) + b],
                         name=f"layers_up{i}_block{b}",
-                    )(x, train=train)
+                    )(x, train)
                 feats.append(x.reshape(x.shape[0], -1, dim))  # ICL tap [B, L, C]
                 if i < num_layers - 1:
                     x = PatchExpand(dim, name=f"layers_up{i}_expand")(x)
