@@ -106,24 +106,54 @@ def _fused_attention_fwd(q, k, v, bias, mask, scale, interpret):
 
 
 def _fused_attention_bwd(scale, interpret, res, g):
-    """Flash-style backward: recompute softmax in XLA (the scores tensor
-    never persisted in the forward), standard attention gradients incl.
-    the relative-position-bias grad (a trained parameter)."""
+    """Flash-style backward: recompute softmax (the scores tensor never
+    persisted in the forward) and form standard attention gradients incl.
+    the relative-position-bias grad. Processed in window CHUNKS via
+    lax.map so the [chunk, H, N, N] score/grad tensors stay ~tens of MB
+    instead of ~1GB for 3D Swin stage-1 shapes."""
     q, k, v, bias, mask = res
     B, H, N, D = q.shape
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale + bias[None].astype(jnp.float32)
+    bias32 = bias[None].astype(jnp.float32)
+
+    # chunk size: keep chunk·H·N·N·4B ≲ 32MB
+    target = max(1, (32 << 20) // max(1, H * N * N * 4))
+    chunk = max(1, min(B, target))
+    n_chunks = -(-B // chunk)
+    pad = n_chunks * chunk - B
+
+    def pad_b(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+    qp, kp, vp, gp = (
+        pad_b(q).reshape(n_chunks, chunk, H, N, D),
+        pad_b(k).reshape(n_chunks, chunk, H, N, D),
+        pad_b(v).reshape(n_chunks, chunk, H, N, D),
+        pad_b(g.astype(jnp.float32)).reshape(n_chunks, chunk, H, N, D),
+    )
     if mask is not None:
         nW = mask.shape[0]
-        s = s.reshape(B // nW, nW, H, N, N) + mask[None, :, None]
-        s = s.reshape(B, H, N, N)
-    p = jax.nn.softmax(s, axis=-1)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhnm,bhnd->bhmd", p, g32)
-    dp = jnp.einsum("bhnd,bhmd->bhnm", g32, v)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k) * scale
-    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q) * scale
-    dbias = ds.sum(axis=0).astype(bias.dtype)
+        widx = (jnp.arange(n_chunks * chunk) % nW).reshape(n_chunks, chunk)
+    else:
+        widx = jnp.zeros((n_chunks, chunk), jnp.int32)
+
+    def chunk_bwd(args):
+        qc, kc, vc, gc, wi = args
+        s = jnp.einsum("bhnd,bhmd->bhnm", qc, kc) * scale + bias32
+        if mask is not None:
+            s = s + mask[wi][:, None]
+        p = jax.nn.softmax(s, axis=-1)
+        dv = jnp.einsum("bhnm,bhnd->bhmd", p, gc)
+        dp = jnp.einsum("bhnd,bhmd->bhnm", gc, vc)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.einsum("bhnm,bhmd->bhnd", ds, kc) * scale
+        dk = jnp.einsum("bhnm,bhnd->bhmd", ds, qc) * scale
+        return dq, dk, dv, ds.sum(axis=0)
+
+    dq, dk, dv, dbias_parts = jax.lax.map(chunk_bwd, (qp, kp, vp, gp, widx))
+    dq = dq.reshape(-1, H, N, D)[:B]
+    dk = dk.reshape(-1, H, N, D)[:B]
+    dv = dv.reshape(-1, H, N, D)[:B]
+    dbias = dbias_parts.sum(axis=0).astype(bias.dtype)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             dbias, dmask)
