@@ -8,7 +8,7 @@ shims map 1:1, plus TPU-native knobs (precision, mesh shape).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 
 @dataclasses.dataclass

@@ -18,7 +18,6 @@ import os
 from typing import Optional
 
 import h5py
-import numpy as np
 
 # ACDC patient-count -> labeled-slice-count lookup
 # (train_inherent_consistent_unet_2D.py:52-62).

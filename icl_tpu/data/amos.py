@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 from scipy.ndimage import zoom as nd_zoom

@@ -18,7 +18,7 @@ Semantics kept:
 from __future__ import annotations
 
 from collections import namedtuple
-from typing import Callable, Dict, List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter, ImageOps

@@ -21,7 +21,6 @@ rearrange.
 """
 from __future__ import annotations
 
-import itertools
 from typing import Optional, Sequence
 
 import jax

@@ -21,12 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from icl_tpu.models.layers import TorchConv
-from icl_tpu.models.unet2d import (
-    DEFAULT_FEATURES,
-    ConvBlock,
-    Encoder,
-    UpBlock,
-)
+from icl_tpu.models.unet2d import DEFAULT_FEATURES, Encoder, UpBlock
 
 
 def feature_dropout(x: jax.Array, rng: jax.Array) -> jax.Array:
