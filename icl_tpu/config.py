@@ -57,6 +57,11 @@ class ExperimentConfig:
     # never uses it, net_factory.py:49-50; here it works via
     # optax.MultiSteps). 1 = off.
     grad_accum: int = 1
+    # Fuse the 2D augmentations (rot90/flip/±20° rotate/zoom) INTO the
+    # jitted train step (device-side pipeline; feed raw same-size slices
+    # via data.pipeline.acdc_raw_batches). Divergence from the host path:
+    # augmentation happens after the canonical resize instead of before.
+    device_augment: bool = False
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
     experiments_dir: str = "../experiments"

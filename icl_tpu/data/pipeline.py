@@ -53,6 +53,40 @@ def acdc_train_batches(
         }
 
 
+def acdc_raw_batches(
+    dataset: ACDCDataset,
+    labeled_count: int,
+    batch_size: int,
+    labeled_bs: int,
+    canon_size: int,
+    seed: int = 1337,
+) -> Iterator[dict]:
+    """Device-augment input mode: [labeled…, unlabeled…] batches of
+    UN-augmented slices, order-0 resized on host to one canonical square
+    size so the jitted step can run the augmentations on the VPU
+    (cfg.device_augment + data.device_augment.augment_batch)."""
+    from icl_tpu.data.transforms import zoom_to
+
+    total = len(dataset)
+    labeled_idxs = list(range(0, labeled_count))
+    unlabeled_idxs = list(range(labeled_count, total))
+    batches = two_stream_batches(
+        labeled_idxs, unlabeled_idxs, batch_size, batch_size - labeled_bs, seed=seed
+    )
+    for idxs in batches:
+        imgs, labs = [], []
+        for i in idxs:
+            item = dataset[i]
+            imgs.append(zoom_to(item["image"].astype(np.float32),
+                                (canon_size, canon_size)))
+            labs.append(zoom_to(item["label"].astype(np.uint8),
+                                (canon_size, canon_size)))
+        yield {
+            "image": np.stack(imgs).astype(np.float32),  # [B, S, S] raw
+            "label": np.stack(labs).astype(np.uint8),
+        }
+
+
 def supervised_batches(
     dataset,
     batch_size: int,

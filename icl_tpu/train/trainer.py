@@ -61,6 +61,27 @@ class Trainer:
                 self.model, self.tx, cfg.num_classes, seg_weight=cfg.seg_weight,
                 remat=step_remat,
             )
+        if cfg.device_augment:
+            assert len(cfg.patch_size) == 2, "device_augment is 2D-only"
+            from icl_tpu.data.device_augment import augment_batch
+
+            inner_aug = self._step_fn
+            patch = int(cfg.patch_size[0])
+
+            def _aug_step(state, batch, rng):
+                # batch: raw UN-augmented [B, S, S] slices
+                # (data.pipeline.acdc_raw_batches); augmentations run on
+                # the VPU inside this same XLA program.
+                rng_aug, rng_step = jax.random.split(rng)
+                img, lab = augment_batch(
+                    batch["image"][..., 0] if batch["image"].ndim == 4
+                    else batch["image"],
+                    batch["label"], rng_aug, patch,
+                )
+                return inner_aug(state, {"image": img, "label": lab}, rng_step)
+
+            self._step_fn = _aug_step
+
         # precision='float32' forces exact f32 matmuls/convs (parity mode);
         # the default lets XLA use fast bf16 passes on the MXU (perf mode).
         if cfg.precision == "float32":

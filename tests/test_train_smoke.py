@@ -91,6 +91,33 @@ def test_icl_full_fit_loop(synth_root, tmp_path):
     assert len(glob.glob(os.path.join(synth_root, "slices_iter1", "*.h5"))) == n
 
 
+def test_device_augment_train_mode(synth_root, tmp_path):
+    """cfg.device_augment: raw same-size slices in, augmentation fused
+    into the jitted step."""
+    from icl_tpu.data.pipeline import acdc_raw_batches
+
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=4, val_interval=10, base_lr=0.01,
+        experiments_dir=str(tmp_path), exp="devaug", labeled_num=3,
+        device_augment=True,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    ds = ACDCDataset(synth_root, "train")
+    gen = acdc_raw_batches(ds, labeled_count=8, batch_size=4, labeled_bs=2,
+                           canon_size=16, seed=0)
+    import jax.numpy as jnp
+    rng = jax.random.PRNGKey(1)
+    for i, b in zip(range(3), gen):
+        assert b["image"].shape == (4, 16, 16)
+        rng, r = jax.random.split(rng)
+        db = {"image": jnp.asarray(b["image"]), "label": jnp.asarray(b["label"])}
+        state, m = tr.step_jit(state, db, r)
+        assert np.isfinite(float(m["loss"]))
+    assert int(jax.device_get(state.step)) == 3
+
+
 def test_eval_volume_shapes(synth_root):
     """Batched slice predictor handles D not divisible by bucket and
     H,W != patch."""
