@@ -82,3 +82,26 @@ def save_train_state(snapshot_path: str, state, name: str = "last") -> str:
 def load_train_state(snapshot_path: str, target, name: str = "last"):
     path = os.path.join(snapshot_path, "model", f"state_{name}.msgpack")
     return load_pytree(path, target)
+
+
+# ---- Orbax backend (optional) ------------------------------------------------
+def save_train_state_orbax(snapshot_path: str, state, name: str = "last") -> str:
+    """Orbax StandardCheckpointer save — per-leaf files with its own
+    integrity metadata; preferable to msgpack for multi-GB states."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(snapshot_path, "model", f"orbax_{name}"))
+    ckptr = ocp.StandardCheckpointer()
+    import jax
+
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_train_state_orbax(snapshot_path: str, target, name: str = "last"):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(snapshot_path, "model", f"orbax_{name}"))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target)
