@@ -35,9 +35,15 @@ def patients_to_slices(dataset_path: str, patients_num: int) -> int:
 
 
 class ACDCDataset:
-    """Slice (train) / volume (val_test) reader."""
+    """Slice (train) / volume (val_test) reader.
 
-    def __init__(self, base_dir: str, split: str = "train", num: Optional[int] = None):
+    cache=True keeps decoded arrays in RAM after first read (the full
+    ACDC train split is ~350MB; per-item h5 open/close otherwise
+    dominates the single-core input pipeline — the reference hides this
+    behind 8 DataLoader worker processes)."""
+
+    def __init__(self, base_dir: str, split: str = "train",
+                 num: Optional[int] = None, cache: bool = True):
         self.base_dir = base_dir
         self.split = split
         list_file = "train_slices.list" if split == "train" else "val_test.list"
@@ -45,15 +51,22 @@ class ACDCDataset:
             self.sample_list = [ln.strip() for ln in f if ln.strip()]
         if num is not None and split == "train":
             self.sample_list = self.sample_list[:num]
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.sample_list)
 
     def __getitem__(self, idx: int) -> dict:
-        case = self.sample_list[idx]
-        sub = "slices" if self.split == "train" else "volumes"
-        path = os.path.join(self.base_dir, sub, f"{case}.h5")
-        with h5py.File(path, "r") as h5f:
-            image = h5f["image"][:]
-            label = h5f["label"][:]
-        return {"image": image, "label": label, "idx": idx, "case": case}
+        if self._cache is not None and idx in self._cache:
+            image, label = self._cache[idx]
+        else:
+            case = self.sample_list[idx]
+            sub = "slices" if self.split == "train" else "volumes"
+            path = os.path.join(self.base_dir, sub, f"{case}.h5")
+            with h5py.File(path, "r") as h5f:
+                image = h5f["image"][:]
+                label = h5f["label"][:]
+            if self._cache is not None:
+                self._cache[idx] = (image, label)
+        return {"image": image, "label": label, "idx": idx,
+                "case": self.sample_list[idx]}

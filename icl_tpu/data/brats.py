@@ -21,7 +21,10 @@ from icl_tpu.data.sampler import two_stream_batches
 
 
 class BraTS2019Dataset:
-    def __init__(self, base_dir: str, split: str = "train", num: Optional[int] = None):
+    def __init__(self, base_dir: str, split: str = "train",
+                 num: Optional[int] = None, cache: bool = False):
+        # cache is OFF by default: 250 full BraTS volumes are tens of GB;
+        # enable for small subsets or big-RAM hosts.
         self.base_dir = base_dir
         list_file = {"train": "train.txt", "test": "val.txt",
                      "val_test": "val_test.txt"}.get(split, f"{split}.txt")
@@ -29,16 +32,22 @@ class BraTS2019Dataset:
             self.image_list = [ln.strip().split(",")[0] for ln in f if ln.strip()]
         if num is not None:
             self.image_list = self.image_list[:num]
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.image_list)
 
     def __getitem__(self, idx: int) -> dict:
-        case = self.image_list[idx]
-        with h5py.File(os.path.join(self.base_dir, "data", f"{case}.h5"), "r") as f:
-            image = f["image"][:]
-            label = f["label"][:].astype(np.uint8)
-        return {"image": image, "label": label, "case": case}
+        if self._cache is not None and idx in self._cache:
+            image, label = self._cache[idx]
+        else:
+            case = self.image_list[idx]
+            with h5py.File(os.path.join(self.base_dir, "data", f"{case}.h5"), "r") as f:
+                image = f["image"][:]
+                label = f["label"][:].astype(np.uint8)
+            if self._cache is not None:
+                self._cache[idx] = (image, label)
+        return {"image": image, "label": label, "case": self.image_list[idx]}
 
 
 def _pad_to_fit(image, label, output_size):

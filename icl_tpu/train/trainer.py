@@ -69,15 +69,23 @@ class Trainer:
             patch = int(cfg.patch_size[0])
 
             def _aug_step(state, batch, rng):
-                # batch: raw UN-augmented [B, S, S] slices
-                # (data.pipeline.acdc_raw_batches); augmentations run on
-                # the VPU inside this same XLA program.
+                # Two input forms, both augmented on the VPU inside this
+                # XLA program:
+                #  * {'image' [B,S,S], 'label' [B,S,S]} raw slices
+                #    (data.pipeline.acdc_raw_batches), or
+                #  * {'image_bank' [N,S,S], 'label_bank' [N,S,S],
+                #    'indices' [B]} device-resident bank + index gather
+                #    (data.device_bank — zero per-step H2D).
                 rng_aug, rng_step = jax.random.split(rng)
-                img, lab = augment_batch(
-                    batch["image"][..., 0] if batch["image"].ndim == 4
-                    else batch["image"],
-                    batch["label"], rng_aug, patch,
-                )
+                if "indices" in batch:
+                    img = batch["image_bank"][batch["indices"]].astype(jnp.float32)
+                    lab = batch["label_bank"][batch["indices"]]
+                else:
+                    img = batch["image"]
+                    if img.ndim == 4:
+                        img = img[..., 0]
+                    lab = batch["label"]
+                img, lab = augment_batch(img, lab, rng_aug, patch)
                 return inner_aug(state, {"image": img, "label": lab}, rng_step)
 
             self._step_fn = _aug_step
@@ -159,7 +167,10 @@ class Trainer:
 
         for batch in train_batches:
             rng, step_rng = jax.random.split(rng)
-            if isinstance(batch["image"], jax.Array):
+            if "indices" in batch:
+                device_batch = dict(batch)
+                device_batch["indices"] = jnp.asarray(batch["indices"], jnp.int32)
+            elif isinstance(batch["image"], jax.Array):
                 device_batch = batch  # already device-put by the pipeline
             else:
                 device_batch = {

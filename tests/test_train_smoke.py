@@ -118,6 +118,36 @@ def test_device_augment_train_mode(synth_root, tmp_path):
     assert int(jax.device_get(state.step)) == 3
 
 
+def test_device_bank_train_mode(synth_root, tmp_path):
+    """HBM-resident dataset bank: index batches in, gather + augment on
+    device (zero per-step H2D)."""
+    from icl_tpu.data.device_bank import build_acdc_bank, two_stream_index_batches
+
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=4, val_interval=10,
+        experiments_dir=str(tmp_path), exp="bank", labeled_num=3,
+        device_augment=True,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    ds = ACDCDataset(synth_root, "train")
+    img_bank, lab_bank = build_acdc_bank(ds, 16)
+    assert img_bank.shape == (len(ds), 16, 16)
+
+    import jax.numpy as jnp
+    idx_gen = two_stream_index_batches(8, len(ds), 4, 2, seed=0)
+    rng = jax.random.PRNGKey(1)
+    for i, idx in zip(range(3), idx_gen):
+        assert (idx[:2] < 8).all() and (idx[2:] >= 8).all()
+        rng, r = jax.random.split(rng)
+        batch = {"image_bank": img_bank, "label_bank": lab_bank,
+                 "indices": jnp.asarray(idx)}
+        state, m = tr.step_jit(state, batch, r)
+        assert np.isfinite(float(m["loss"]))
+    assert int(jax.device_get(state.step)) == 3
+
+
 def test_eval_volume_shapes(synth_root):
     """Batched slice predictor handles D not divisible by bucket and
     H,W != patch."""
