@@ -38,6 +38,13 @@ def parse_args():
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--labeled_bs", type=int, default=8)
     p.add_argument("--val_interval", type=int, default=200)
+    p.add_argument("--input_mode", type=str, default="host",
+                   choices=["host", "device_bank"],
+                   help="host: reference-exact scipy pipeline; device_bank: "
+                        "dataset resident in HBM, gather+augment fused into "
+                        "the train step (~20x end-to-end on tunneled chips)")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     return p.parse_args()
 
 
@@ -51,6 +58,8 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
+        precision=args.precision,
+        device_augment=(args.input_mode == "device_bank"),
     )
     labeled_slice = patients_to_slices(cfg.root_path, cfg.labeled_num)
 
@@ -61,12 +70,27 @@ def main():
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
 
-    batches = Prefetcher(
-        acdc_train_batches(
-            train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
-            cfg.patch_size, seed=cfg.seed,
+    if args.input_mode == "device_bank":
+        from icl_tpu.data.device_bank import build_acdc_bank, two_stream_index_batches
+
+        img_bank, lab_bank = build_acdc_bank(train_ds, int(cfg.patch_size[0]))
+
+        def bank_batches():
+            for idx in two_stream_index_batches(
+                labeled_slice, len(train_ds), cfg.batch_size, cfg.labeled_bs,
+                seed=cfg.seed,
+            ):
+                yield {"image_bank": img_bank, "label_bank": lab_bank,
+                       "indices": idx}
+
+        batches = bank_batches()
+    else:
+        batches = Prefetcher(
+            acdc_train_batches(
+                train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
+                cfg.patch_size, seed=cfg.seed,
+            )
         )
-    )
     predict = make_slice_predictor(trainer.model, cfg.patch_size)
 
     def evaluate(variables):
