@@ -180,6 +180,10 @@ class Trainer:
                     "label": jnp.asarray(batch["label"], jnp.int32),
                 }
             state, metrics = self.step_jit(state, device_batch, step_rng)
+            # Keep exactly one step in flight: free-running dispatch with
+            # donated multi-GB states can collapse the allocator on this
+            # hardware (see bench.py); blocking costs ~0.1ms/step.
+            jax.block_until_ready(metrics["loss"])
             iter_num += 1
 
             if iter_num % cfg.log_interval == 0:
