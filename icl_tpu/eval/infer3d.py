@@ -220,8 +220,11 @@ def evaluate_amos_cases(
             roi, stride, stride, sw_batch,
         )
         for cls in range(1, num_classes):
+            # (pred, gt) order matches metrics.calculate_metric_percase
+            # and the reference call (val_2D.py:51-53); dice/hd95 happen
+            # to be symmetric but future asymmetric metrics are not.
             metric_cal[cls - 1].append(
-                calculate_metric_percase(item["label"] == cls, prediction == cls)
+                calculate_metric_percase(prediction == cls, item["label"] == cls)
             )
     return metric_cal
 
@@ -247,6 +250,6 @@ def evaluate_brats_cases(
         )
         for cls in range(1, num_classes):
             metric_cal[cls - 1].append(
-                calculate_metric_percase(item["label"] == cls, prediction == cls)
+                calculate_metric_percase(prediction == cls, item["label"] == cls)
             )
     return metric_cal

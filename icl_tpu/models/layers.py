@@ -145,6 +145,41 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+def _align_corners_matrix(n_in: int, n_out: int):
+    """Row-stochastic (n_out, n_in) linear-interpolation matrix for the
+    torch align_corners=True grid: out[i] samples at i·(n_in−1)/(n_out−1)."""
+    import numpy as np
+
+    if n_in == 1 or n_out == 1:
+        M = np.zeros((n_out, n_in), np.float32)
+        M[:, 0] = 1.0
+        return M
+    s = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    j0 = np.floor(s).astype(np.int64)
+    w = (s - j0).astype(np.float32)
+    j1 = np.minimum(j0 + 1, n_in - 1)
+    M = np.zeros((n_out, n_in), np.float32)
+    np.add.at(M, (np.arange(n_out), j0), 1.0 - w)
+    np.add.at(M, (np.arange(n_out), j1), w)
+    return M
+
+
+def upsample_align_corners(x: jax.Array, factor: int = 2) -> jax.Array:
+    """torch nn.Upsample(scale_factor=f, mode='bilinear'/'trilinear',
+    align_corners=True) for channel-last x — the upsampling the reference
+    2D decoders actually use (unet.py:74-76; the ConvTranspose branch is
+    unreachable, see UpBlock note in unet2d.py).
+
+    align_corners=True is NOT expressible with jax.image.resize (which
+    implements half-pixel centers), so interpolate separably per axis as
+    small static matmuls — MXU-friendly and fusable."""
+    for axis in range(1, x.ndim - 1):
+        n_in = x.shape[axis]
+        M = jnp.asarray(_align_corners_matrix(n_in, n_in * factor), dtype=x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(M, x, axes=(1, axis)), 0, axis)
+    return x
+
+
 def max_pool(x: jax.Array, window: int = 2) -> jax.Array:
     """MaxPool(k=stride=window) over all spatial dims of channel-last x."""
     n_spatial = x.ndim - 2

@@ -3,8 +3,16 @@
 TPU-native rebuild of the reference 2D U-Net (`code/networks/unet.py`):
 5-level encoder with feature channels [16, 32, 64, 128, 256], ConvBlocks
 of (Conv3×3 → BN → LeakyReLU → Dropout → Conv3×3 → BN → LeakyReLU),
-max-pool downsampling, ConvTranspose(k2,s2) upsampling with skip concat
-ordered [skip, upsampled] (unet.py:86), and a 3×3 output head.
+max-pool downsampling, conv1x1 + bilinear(align_corners=True) upsampling
+with skip concat ordered [skip, upsampled] (unet.py:83-86), and a 3×3
+output head.
+
+NOTE on upsampling (verified against the real reference module in
+tests/test_reference_parity.py): the reference config sets
+`bilinear: False` (unet.py:313) but Decoder never forwards it to UpBlock
+(unet.py:130-137), so the constructor default bilinear=True wins — every
+reachable 2D decoder (UNet, UNet_icl, CCT/URPC/DS) upsamples with
+conv1x1 + nn.Upsample(align_corners=True), NOT ConvTranspose.
 
 Also provides the ICL decoder variant that taps multi-scale features
 [x_1, x_2, x_3] (unet_icl.py:186-190) for the ICL heads.
@@ -20,8 +28,8 @@ from flax import linen as nn
 from icl_tpu.models.layers import (
     BatchNorm,
     TorchConv,
-    TorchConvTranspose,
     max_pool,
+    upsample_align_corners,
 )
 
 DEFAULT_FEATURES = (16, 32, 64, 128, 256)
@@ -49,16 +57,18 @@ class ConvBlock(nn.Module):
 
 
 class UpBlock(nn.Module):
-    """ConvTranspose(k2,s2) upsample + concat [skip, up] + ConvBlock
-    (unet.py:66-87; bilinear=False path, the only one reachable)."""
+    """conv1x1 + bilinear 2× upsample (align_corners=True) + concat
+    [skip, up] + ConvBlock (unet.py:66-87, bilinear=True — the only
+    reachable path, see module docstring)."""
 
-    features_mid: int  # channels after upsample (= skip channels)
+    features_mid: int  # channels after conv1x1 (= skip channels)
     features_out: int
     dropout_p: float = 0.0
 
     @nn.compact
     def __call__(self, x_deep, x_skip, *, train: bool):
-        x_up = TorchConvTranspose(self.features_mid, (2, 2), (2, 2), name="up")(x_deep)
+        x_up = TorchConv(self.features_mid, (1, 1), name="conv1x1")(x_deep)
+        x_up = upsample_align_corners(x_up, 2)
         x = jnp.concatenate([x_skip, x_up], axis=-1)
         return ConvBlock(self.features_out, self.dropout_p, name="conv")(x, train=train)
 

@@ -33,6 +33,21 @@ def load_pytree(path: str, target: Any = None) -> Any:
     return serialization.from_bytes(target, data)
 
 
+def merge_trees(base: dict, overlay: dict) -> dict:
+    """Recursive overlay: leaves in `overlay` replace those in `base`,
+    siblings missing from `overlay` keep their `base` values at every
+    depth (NOT just the top level — a checkpoint holding only
+    params['encoder']['in_conv'] must not drop the other encoder
+    blocks)."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_trees(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_eval_variables(model, ckpt_path: str, example_input):
     """Init a model on its inference path and overlay a (possibly
     ICL-stripped) best checkpoint; missing subtrees keep their fresh init
@@ -47,10 +62,10 @@ def load_eval_variables(model, ckpt_path: str, example_input):
         inference=True,
     )
     saved = load_pytree(ckpt_path)
-    params = dict(variables["params"])
-    params.update(saved.get("params", {}))
-    batch_stats = dict(variables.get("batch_stats", {}))
-    batch_stats.update(saved.get("batch_stats", {}))
+    params = merge_trees(dict(variables["params"]), saved.get("params", {}))
+    batch_stats = merge_trees(
+        dict(variables.get("batch_stats", {})), saved.get("batch_stats", {})
+    )
     return {"params": params, "batch_stats": batch_stats}
 
 

@@ -94,12 +94,15 @@ def unet2d_key_table():
             f"encoder.down{i}.maxpool_conv.1", enc + (f"down{i}",)
         )
     dec = ("decoder",)
+    # UpBlocks are the bilinear variant (conv1x1 + parameter-free
+    # Upsample) — the reference's ConvTranspose branch is unreachable
+    # (unet.py:130-137 never forwards bilinear=False).
     for i in range(1, 5):
         base = f"decoder.up{i}"
-        table.append((f"{base}.up.weight",
-                      dec + (f"up{i}", "up", "ConvTranspose_0", "kernel"), t2f_convT))
-        table.append((f"{base}.up.bias",
-                      dec + (f"up{i}", "up", "ConvTranspose_0", "bias"), None))
+        table.append((f"{base}.conv1x1.weight",
+                      dec + (f"up{i}", "conv1x1", "Conv_0", "kernel"), t2f_conv))
+        table.append((f"{base}.conv1x1.bias",
+                      dec + (f"up{i}", "conv1x1", "Conv_0", "bias"), None))
         table += _convblock_entries(f"{base}.conv", dec + (f"up{i}", "conv"))
     table.append(("decoder.out_conv.weight",
                   dec + ("out_conv", "Conv_0", "kernel"), t2f_conv))
@@ -171,6 +174,111 @@ def convert_unet3d(sd: Dict[str, np.ndarray], wrapped_in_backbone: bool = False)
     return _apply_table(sd, table)
 
 
+# ---- ICL heads (sspa / uscl) -------------------------------------------------
+def t2f_conv1d_as_dense(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d k=1 weight (O, I, 1) -> flax Dense kernel (I, O)."""
+    return w[:, :, 0].T
+
+
+def icl_head_key_table(torch_prefix: str, flax_root: tuple, num_scales: int = 3):
+    """torch key -> (flax path, transform) for one `InherentConsistent`
+    head (reference unet_icl.py:254-338 / unet_3D_icl.py:155-242; the
+    torch key layout is identical for 2D and 3D — only conv ranks differ,
+    which t2f_conv handles rank-generically)."""
+    table = []
+    p = torch_prefix
+
+    def dense(t_key, f_path, has_bias=True):
+        table.append((f"{t_key}.weight", f_path + ("Dense_0", "kernel"), t2f_linear))
+        if has_bias:
+            table.append((f"{t_key}.bias", f_path + ("Dense_0", "bias"), None))
+
+    def lnorm(t_key, f_path):
+        table.append((f"{t_key}.weight", f_path + ("LayerNorm_0", "scale"), None))
+        table.append((f"{t_key}.bias", f_path + ("LayerNorm_0", "bias"), None))
+
+    def bnorm(t_key, f_path):
+        table.append((f"{t_key}.weight", f_path + ("BatchNorm_0", "scale"), None))
+        table.append((f"{t_key}.bias", f_path + ("BatchNorm_0", "bias"), None))
+        table.append((f"{t_key}.running_mean",
+                      ("__bs__",) + f_path + ("BatchNorm_0", "mean"), None))
+        table.append((f"{t_key}.running_var",
+                      ("__bs__",) + f_path + ("BatchNorm_0", "var"), None))
+
+    table.append((f"{p}.guided_Q", flax_root + ("guided_Q",), None))
+    for i in range(num_scales):
+        table.append((f"{p}.proj_layers.{i}.weight",
+                      flax_root + (f"proj{i}", "Conv_0", "kernel"), t2f_conv))
+        table.append((f"{p}.proj_layers.{i}.bias",
+                      flax_root + (f"proj{i}", "Conv_0", "bias"), None))
+        lnorm(f"{p}.norm_layers.{i}", flax_root + (f"norm{i}",))
+
+        cd_t = f"{p}.class_decoders.{i}"
+        cd_f = flax_root + (f"class_decoder{i}",)
+        for nm in ("norm1", "norm1_query", "norm2", "norm3"):
+            lnorm(f"{cd_t}.{nm}", cd_f + (nm,))
+        for nm in ("fc_q", "fc_kv", "proj"):
+            dense(f"{cd_t}.attn.{nm}", cd_f + ("attn", nm))
+        for mlp in ("mlp", "mlp2"):
+            for fc in ("fc1", "fc2"):
+                dense(f"{cd_t}.{mlp}.{fc}", cd_f + (mlp, fc))
+
+        # SeparableConv (attn_convs0): depthwise + pointwise convs are
+        # bias-free; both BNs carry affine + running stats.
+        sc_t = f"{p}.attn_convs0.{i}.block"
+        sc_f = flax_root + (f"attn_conv0_{i}",)
+        table.append((f"{sc_t}.depthwise.weight",
+                      sc_f + ("depthwise", "Conv_0", "kernel"), t2f_conv))
+        bnorm(f"{sc_t}.bn_depth", sc_f + ("bn_depth",))
+        table.append((f"{sc_t}.pointwise.weight",
+                      sc_f + ("pointwise", "Conv_0", "kernel"), t2f_conv))
+        bnorm(f"{sc_t}.bn_point", sc_f + ("bn_point",))
+
+        table.append((f"{p}.attn_convs1.{i}.weight",
+                      flax_root + (f"attn_conv1_{i}", "Conv_0", "kernel"), t2f_conv))
+        table.append((f"{p}.attn_convs1.{i}.bias",
+                      flax_root + (f"attn_conv1_{i}", "Conv_0", "bias"), None))
+        table.append((f"{p}.query_convs.{i}.weight",
+                      flax_root + (f"query_conv{i}", "Dense_0", "kernel"),
+                      t2f_conv1d_as_dense))
+        table.append((f"{p}.query_convs.{i}.bias",
+                      flax_root + (f"query_conv{i}", "Dense_0", "bias"), None))
+    return table
+
+
+def convert_icl_heads(sd: Dict[str, np.ndarray], num_scales: int = 3,
+                      torch_names=("sspa", "uscl"), guided_q_name: str = "guided_Q"):
+    """sspa/uscl InherentConsistent heads from a full (non-stripped)
+    state_dict -> flax subtrees. `guided_q_name` handles the
+    swinunetr_icl.py:404 spelling (`guide_Q`)."""
+    table = []
+    for name in torch_names:
+        t = icl_head_key_table(name, (name,), num_scales)
+        if guided_q_name != "guided_Q":
+            t = [(k.replace(".guided_Q", f".{guided_q_name}"), f_path, tf)
+                 for k, f_path, tf in t]
+        table += t
+    return _apply_table(sd, table)
+
+
+def convert_icl_unet2d(sd: Dict[str, np.ndarray]):
+    """Full reference UNet_icl (unet_icl.py:196-252) state_dict ->
+    (params, batch_stats): encoder/decoder backbone + both ICL heads."""
+    sd = strip_prefix(sd, "module.")
+    p1, b1, m1 = _apply_table(sd, unet2d_key_table())
+    p2, b2, m2 = convert_icl_heads(sd)
+    return _merge_into(p1, p2), _merge_into(b1, b2), m1 + m2
+
+
+def convert_icl_unet3d(sd: Dict[str, np.ndarray]):
+    """Full reference unet_3D_icl (unet_3D_icl.py:26-154) state_dict ->
+    (params, batch_stats): backbone (under 'backbone') + both ICL heads."""
+    sd = strip_prefix(sd, "module.")
+    p1, b1, m1 = convert_unet3d(sd, wrapped_in_backbone=True)
+    p2, b2, m2 = convert_icl_heads(sd)
+    return _merge_into(p1, p2), _merge_into(b1, b2), m1 + m2
+
+
 def _merge_into(variables_tree: dict, subtree: dict) -> dict:
     out = dict(variables_tree)
     for k, v in subtree.items():
@@ -203,14 +311,26 @@ def f2t_convT(w: np.ndarray) -> np.ndarray:
     return np.flip(w, axis=tuple(range(2, nd)))
 
 
-def export_unet2d(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
-    """Inverse of convert_unet2d: icl_tpu UNet params → reference-dialect
-    torch state_dict (numpy values; wrap with torch.from_numpy to save a
-    .pth loadable by the reference's test scripts)."""
-    inverse = {None: lambda v: v, t2f_conv: f2t_conv, t2f_convT: f2t_convT,
-               t2f_linear: lambda v: v.T}
+def f2t_dense_as_conv1d(w: np.ndarray) -> np.ndarray:
+    """flax Dense kernel (I, O) -> torch Conv1d k=1 weight (O, I, 1)."""
+    return w.T[:, :, None]
+
+
+_INVERSE_TF = {
+    None: lambda v: v,
+    t2f_conv: f2t_conv,
+    t2f_convT: f2t_convT,
+    t2f_linear: lambda v: v.T,
+    t2f_conv1d_as_dense: f2t_dense_as_conv1d,
+}
+
+
+def _export_table(params: dict, batch_stats: dict, table) -> Dict[str, np.ndarray]:
+    """Inverse of _apply_table: walk a key table and emit a torch-dialect
+    state_dict (numpy values; wrap with torch.from_numpy + torch.save for
+    a .pth loadable by the reference's test scripts)."""
     out: Dict[str, np.ndarray] = {}
-    for t_key, f_path, tf in unet2d_key_table():
+    for t_key, f_path, tf in table:
         src = batch_stats if f_path[0] == "__bs__" else params
         path = f_path[1:] if f_path[0] == "__bs__" else f_path
         node = src
@@ -219,7 +339,47 @@ def export_unet2d(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
                 node = node[k]
         except (KeyError, TypeError):
             continue
-        out[t_key] = inverse[tf](np.asarray(node))
+        out[t_key] = _INVERSE_TF[tf](np.asarray(node))
+    return out
+
+
+def export_unet2d(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
+    """Inverse of convert_unet2d (reference ICL-stripped dialect)."""
+    return _export_table(params, batch_stats, unet2d_key_table())
+
+
+def export_unet3d(params: dict, wrapped_in_backbone: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse of convert_unet3d: icl_tpu UNet3D(±ICL backbone) →
+    reference unet_3D state_dict (InstanceNorm is affine-free, so convs
+    are the complete param set)."""
+    table = []
+    for t_key, f_path, tf in unet3d_key_table():
+        path = (("backbone",) if wrapped_in_backbone else ()) + f_path[1:]
+        table.append((t_key, path, tf))
+    return _export_table(params, {}, table)
+
+
+def export_icl_heads(params: dict, batch_stats: dict, num_scales: int = 3,
+                     torch_names=("sspa", "uscl")) -> Dict[str, np.ndarray]:
+    """Inverse of convert_icl_heads (both InherentConsistent heads)."""
+    table = []
+    for name in torch_names:
+        table += icl_head_key_table(name, (name,), num_scales)
+    return _export_table(params, batch_stats, table)
+
+
+def export_icl_unet2d(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
+    """Full UNet_icl export (backbone + heads) — lets the reference's own
+    training/eval scripts consume an icl_tpu checkpoint."""
+    out = export_unet2d(params, batch_stats)
+    out.update(export_icl_heads(params, batch_stats))
+    return out
+
+
+def export_icl_unet3d(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
+    """Full unet_3D_icl export (backbone under 'backbone' + heads)."""
+    out = export_unet3d(params, wrapped_in_backbone=True)
+    out.update(export_icl_heads(params, batch_stats))
     return out
 
 
@@ -366,6 +526,133 @@ def convert_swinunet2d(sd: Dict[str, np.ndarray], depths=(2, 2, 2, 2)):
         if i > 0:
             blocks(f"layers_up.{i}", f"layers_up{i}", depths[len(depths) - 1 - i])
     return params
+
+
+def _swin_block_entries(t_prefix: str, f_name: str):
+    """One SwinTransformerBlock: norms, qkv/proj, rel-pos table, mlp."""
+    out = []
+
+    def lnorm(t, f):
+        out.append((f"{t}.weight", f + ("LayerNorm_0", "scale"), None))
+        out.append((f"{t}.bias", f + ("LayerNorm_0", "bias"), None))
+
+    def dense(t, f, bias=True):
+        out.append((f"{t}.weight", f + ("Dense_0", "kernel"), t2f_linear))
+        if bias:
+            out.append((f"{t}.bias", f + ("Dense_0", "bias"), None))
+
+    f = (f_name,)
+    lnorm(f"{t_prefix}.norm1", f + ("norm1",))
+    lnorm(f"{t_prefix}.norm2", f + ("norm2",))
+    out.append((f"{t_prefix}.attn.relative_position_bias_table",
+                f + ("attn", "relative_position_bias_table"), None))
+    dense(f"{t_prefix}.attn.qkv", f + ("attn", "qkv"))
+    dense(f"{t_prefix}.attn.proj", f + ("attn", "proj"))
+    dense(f"{t_prefix}.mlp.fc1", f + ("mlp", "fc1"))
+    dense(f"{t_prefix}.mlp.fc2", f + ("mlp", "fc2"))
+    return out
+
+
+def swinunet2d_full_key_table(depths=(2, 2, 2, 2)):
+    """COMPLETE param mapping for SwinTransformerSys (swinunet_icl.py:
+    605-809 = the base twin): encoder + downsamples + full decoder
+    (PatchExpand, concat_back_dim, up blocks, FinalPatchExpand_X4,
+    output head). Used for best-checkpoint import and flax→torch export
+    (the pretrained ImageNet dialect keeps using convert_swinunet2d)."""
+    table = []
+
+    def lnorm(t, f):
+        table.append((f"{t}.weight", f + ("LayerNorm_0", "scale"), None))
+        table.append((f"{t}.bias", f + ("LayerNorm_0", "bias"), None))
+
+    def dense(t, f, bias=True):
+        table.append((f"{t}.weight", f + ("Dense_0", "kernel"), t2f_linear))
+        if bias:
+            table.append((f"{t}.bias", f + ("Dense_0", "bias"), None))
+
+    table.append(("patch_embed.proj.weight",
+                  ("patch_embed_proj", "Conv_0", "kernel"), t2f_conv))
+    table.append(("patch_embed.proj.bias",
+                  ("patch_embed_proj", "Conv_0", "bias"), None))
+    lnorm("patch_embed.norm", ("patch_embed_norm",))
+
+    num_layers = len(depths)
+    for i in range(num_layers):
+        for b in range(depths[i]):
+            table += _swin_block_entries(f"layers.{i}.blocks.{b}",
+                                         f"layers{i}_block{b}")
+        if i < num_layers - 1:
+            dense(f"layers.{i}.downsample.reduction",
+                  (f"layers{i}_downsample", "reduction"), bias=False)
+            lnorm(f"layers.{i}.downsample.norm", (f"layers{i}_downsample", "norm"))
+    lnorm("norm", ("norm",))
+
+    # decoder: layers_up.0 is a bare PatchExpand; layers_up.{i>0} are
+    # BasicLayer_up (blocks + optional PatchExpand 'upsample')
+    dense("layers_up.0.expand", ("layers_up0_expand", "expand"), bias=False)
+    lnorm("layers_up.0.norm", ("layers_up0_expand", "norm"))
+    for i in range(1, num_layers):
+        dense(f"concat_back_dim.{i}", (f"concat_back_dim{i}",))
+        for b in range(depths[num_layers - 1 - i]):
+            table += _swin_block_entries(f"layers_up.{i}.blocks.{b}",
+                                         f"layers_up{i}_block{b}")
+        if i < num_layers - 1:
+            dense(f"layers_up.{i}.upsample.expand",
+                  (f"layers_up{i}_expand", "expand"), bias=False)
+            lnorm(f"layers_up.{i}.upsample.norm", (f"layers_up{i}_expand", "norm"))
+    lnorm("norm_up", ("norm_up",))
+    dense("up.expand", ("up_x4", "expand"), bias=False)
+    lnorm("up.norm", ("up_x4", "norm"))
+    table.append(("output.weight", ("output", "Conv_0", "kernel"), t2f_conv))
+    return table
+
+
+def convert_swinunet2d_ckpt(sd: Dict[str, np.ndarray], depths=(2, 2, 2, 2)):
+    """Reference-trained SwinUnet best checkpoint (full model, ICL heads
+    stripped) -> complete icl_tpu SwinUNet2D subtree. Buffers
+    (relative_position_index / attn_mask) are recomputed constants on the
+    flax side, so they're ignored here."""
+    sd = strip_prefix(sd, "module.")
+    sd = strip_prefix(sd, "swin_unet.")
+    table = swinunet2d_full_key_table(depths)
+    params, batch_stats, missing = _apply_table(sd, table)
+    return params, batch_stats, missing
+
+
+def export_swinunet2d(params: dict, img_size: int = 224, window: int = 7,
+                      depths=(2, 2, 2, 2)) -> Dict[str, np.ndarray]:
+    """icl_tpu SwinUNet2D params → reference SwinTransformerSys
+    state_dict, INCLUDING the synthesized buffers (relative_position_index
+    per attention, attn_mask per shifted block) so the reference harness
+    can load it strictly (vision_transformer_base.py wrapper expects them
+    in the state_dict)."""
+    from icl_tpu.models.swin2d import (
+        relative_position_index_2d,
+        shifted_window_mask,
+    )
+
+    out = _export_table(params, {}, swinunet2d_full_key_table(depths))
+
+    num_layers = len(depths)
+    pr = img_size // 4  # patch size 4
+
+    def buffers(t_prefix, res, b):
+        ws = min(window, res)
+        shift = 0 if (b % 2 == 0 or res <= window) else window // 2
+        out[f"{t_prefix}.attn.relative_position_index"] = (
+            relative_position_index_2d(ws).astype(np.int64)
+        )
+        if shift > 0:
+            out[f"{t_prefix}.attn_mask"] = shifted_window_mask(res, res, ws, shift)
+
+    for i in range(num_layers):
+        for b in range(depths[i]):
+            buffers(f"layers.{i}.blocks.{b}", pr // 2**i, b)
+    for i in range(1, num_layers):
+        for b in range(depths[num_layers - 1 - i]):
+            buffers(f"layers_up.{i}.blocks.{b}",
+                    pr // 2 ** (num_layers - 1 - i), b)
+    return out
 
 
 def load_pretrained_swinunet(state, ckpt_path: str):

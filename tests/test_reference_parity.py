@@ -1,0 +1,371 @@
+"""Direct numerical parity against the ACTUAL reference torch modules.
+
+Round-1 parity tests compared icl_tpu against hand-transcribed torch
+oracles; a transcription error would have passed unnoticed (VERDICT r1,
+item 1). These tests import the real reference code from
+/root/reference/code — with tests/refshim standing in for the absent
+monai/timm packages — push identical weights through icl_tpu's torch
+converters, and assert forward and loss equivalence:
+
+  * networks/unet.py:305       UNet (2D)          — full forward
+  * networks/unet_3D.py:21     unet_3D            — full forward
+  * networks/unet_icl.py:254   InherentConsistent — labeled + unlabeled
+  * networks/unet_3D_icl.py:155 InherentConsistent (3D) — both modes
+  * networks/unet_icl.py:196   UNet_icl           — full 5-tuple forward
+  * utils/losses.py            DiceLoss/AuxLoss/PseudoSoftLoss/
+                               softmax_mse/softmax_dice/dice_loss(1)
+
+All comparisons run in eval mode (dropout/droppath off; BN uses
+*randomized* running stats so stat conversion can't hide behind 0/1
+defaults) with f32 matmuls on both sides.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/code"
+SHIM = os.path.join(os.path.dirname(__file__), "refshim")
+for _p in (REF, SHIM):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+from icl_tpu.utils import torch_import as ti  # noqa: E402
+
+torch.manual_seed(0)
+
+
+# ---------------------------------------------------------------- helpers
+def t_np(x):
+    return x.detach().cpu().numpy()
+
+
+def randomize_buffers_(model, seed=1234):
+    """Randomize BN running stats, BN affine params and zero-init
+    parameters (guided_Q, zero biases) so converter bugs can't hide
+    behind 0/1 defaults. Conv/Linear weights keep torch's own init."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, b in model.named_buffers():
+            if not torch.is_floating_point(b):
+                continue
+            if "running_var" in name:
+                b.copy_(0.5 + torch.rand(b.shape, generator=g))
+            else:
+                b.copy_(0.1 * torch.randn(b.shape, generator=g))
+        for name, p in model.named_parameters():
+            if torch.count_nonzero(p) == 0:
+                p.copy_(0.1 * torch.randn(p.shape, generator=g))
+
+
+def leaf_paths(tree, prefix=()):
+    out = set()
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out |= leaf_paths(v, prefix + (k,))
+        else:
+            out.add(prefix + (k, np.shape(v)))
+    return out
+
+
+def assert_tree_structure(converted: dict, expected: dict, what: str):
+    got, want = leaf_paths(converted), leaf_paths(expected)
+    assert got == want, (
+        f"{what}: converter/tree mismatch\n"
+        f"  only in converted: {sorted(got - want)[:10]}\n"
+        f"  only in flax init: {sorted(want - got)[:10]}"
+    )
+
+
+def flax_structure(module, *args, **kwargs):
+    """Param/batch_stats structure via eval_shape (no FLOPs)."""
+    var_shapes = jax.eval_shape(
+        lambda: module.init(jax.random.PRNGKey(0), *args, **kwargs)
+    )
+    return jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), var_shapes)
+
+
+def assert_close(torch_chanfirst, flax_chanlast, tol=1e-4, what="", move=True):
+    a = t_np(torch_chanfirst)
+    b = np.asarray(flax_chanlast)
+    if move and a.ndim > 2:  # move flax channel-last to torch channel-first
+        b = np.moveaxis(b, -1, 1)
+    scale = max(1.0, float(np.max(np.abs(a))))
+    err = float(np.max(np.abs(a - b)))
+    assert err <= tol * scale, f"{what}: max|Δ|={err:.3e} scale={scale:.3e}"
+
+
+def nhwc(x_nchw):
+    return jnp.asarray(np.moveaxis(x_nchw, 1, -1))
+
+
+# ---------------------------------------------------------------- UNet 2D
+def test_unet2d_forward_matches_reference():
+    from networks.unet import UNet as RefUNet
+
+    from icl_tpu.models.unet2d import UNet
+
+    ref = RefUNet(in_chns=1, class_num=4).eval()
+    randomize_buffers_(ref)
+    sd = {k: t_np(v) for k, v in ref.state_dict().items()}
+    params, batch_stats, missing = ti.convert_unet2d(sd)
+    assert not missing
+
+    x = np.random.default_rng(0).normal(size=(2, 1, 64, 64)).astype(np.float32)
+    model = UNet(in_chns=1, class_num=4)
+    expected = flax_structure(model, nhwc(x), train=False)
+    assert_tree_structure(params, expected["params"], "unet2d params")
+    assert_tree_structure(batch_stats, expected["batch_stats"], "unet2d batch_stats")
+
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x))
+    y = model.apply(
+        {"params": params, "batch_stats": batch_stats}, nhwc(x), train=False
+    )
+    assert_close(y_ref, y, 1e-4, "UNet2D forward")
+
+
+# ---------------------------------------------------------------- UNet 3D
+def test_unet3d_forward_matches_reference():
+    from networks.unet_3D import unet_3D as RefUNet3D
+
+    from icl_tpu.models.unet3d import UNet3D
+
+    ref = RefUNet3D(feature_scale=4, n_classes=2, in_channels=1).eval()
+    sd = {k: t_np(v) for k, v in ref.state_dict().items()}
+    params, batch_stats, missing = ti.convert_unet3d(sd)
+    assert not missing
+    assert not batch_stats  # InstanceNorm is stateless
+
+    x = np.random.default_rng(1).normal(size=(1, 1, 32, 32, 32)).astype(np.float32)
+    model = UNet3D(in_chns=1, class_num=2)
+    expected = flax_structure(model, nhwc(x), train=False)
+    assert_tree_structure(params, expected["params"], "unet3d params")
+
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x))
+    y = model.apply({"params": params}, nhwc(x), train=False)
+    assert_close(y_ref, y, 1e-4, "unet_3D forward")
+
+
+# ------------------------------------------------------ InherentConsistent
+def _icl_head_case(ref_cls, flax_cls, spatial_dims, resolutions):
+    """Run one reference InherentConsistent head (REAL reference class,
+    small config) against icl_tpu's shared implementation, in both
+    labeled and unlabeled modes."""
+    in_chans, heads, ncls = (32, 16, 8), (4, 2, 2), 4
+    ref = ref_cls(
+        in_chans=in_chans,
+        depths=(2, 2, 2),
+        patch_size=(2,) * spatial_dims,
+        input_resolution=resolutions,
+        num_classes=ncls,
+        num_heads=heads,
+    ).eval()
+    randomize_buffers_(ref)
+    sd = {"sspa." + k: t_np(v) for k, v in ref.state_dict().items()}
+    tree, bs, missing = ti.convert_icl_heads(sd, torch_names=("sspa",))
+    assert not missing
+    params, batch_stats = tree["sspa"], bs["sspa"]
+
+    rng = np.random.default_rng(2)
+    feats_np = [
+        rng.normal(size=(2, in_chans[i], *([resolutions[i]] * spatial_dims))).astype(
+            np.float32
+        )
+        for i in range(3)
+    ]
+    feats_t = [torch.from_numpy(f) for f in feats_np]
+    feats_f = [nhwc(f) for f in feats_np]
+
+    model = flax_cls(
+        in_chans=in_chans,
+        num_classes=ncls,
+        num_heads=heads,
+        input_resolution=resolutions,
+        spatial_dims=spatial_dims,
+    )
+    expected = flax_structure(model, feats_f, modal="labeled", train=False)
+    assert_tree_structure(params, expected["params"], "icl params")
+    assert_tree_structure(batch_stats, expected["batch_stats"], "icl batch_stats")
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    with torch.no_grad():
+        fm_ref, qs_ref = ref(feats_t, modal="labeled")
+    fm, qs = model.apply(variables, feats_f, modal="labeled", train=False)
+    for i in range(3):
+        assert_close(fm_ref[i], fm[i], 1e-4, f"labeled feat_map[{i}]")
+        assert_close(qs_ref[i], qs[i], 1e-4, f"updated_Q[{i}]", move=False)
+
+    with torch.no_grad():
+        fm_ref_u, _ = ref(feats_t, [torch.from_numpy(np.asarray(q)) for q in qs],
+                          modal="unlabeled")
+    fm_u, _ = model.apply(variables, feats_f, qs, modal="unlabeled", train=False)
+    for i in range(3):
+        assert_close(fm_ref_u[i], fm_u[i], 1e-4, f"unlabeled feat_map[{i}]")
+
+
+def test_icl_head_2d_matches_reference():
+    from networks.unet_icl import InherentConsistent as RefIC
+
+    from icl_tpu.models.icl import InherentConsistent
+
+    _icl_head_case(RefIC, InherentConsistent, 2, (8, 16, 32))
+
+
+def test_icl_head_3d_matches_reference():
+    from networks.unet_3D_icl import InherentConsistent as RefIC3D
+
+    from icl_tpu.models.icl import InherentConsistent
+
+    _icl_head_case(RefIC3D, InherentConsistent, 3, (4, 6, 8))
+
+
+# ------------------------------------------------------- full UNet_icl 2D
+def test_icl_unet2d_full_forward_matches_reference():
+    """End-to-end UNet_icl 5-tuple parity at the reference's hard-coded
+    256² geometry (unet_icl.py:200-216). ~1.1B params — feasible in this
+    container's RAM; batch 1+1 keeps CPU time bounded."""
+    from networks.unet_icl import UNet_icl as RefUNetICL
+
+    from icl_tpu.models.unet2d_icl import UNetICL
+
+    ref = RefUNetICL(in_chns=1, class_num=2).eval()
+    randomize_buffers_(ref)
+    sd = {k: t_np(v) for k, v in ref.state_dict().items()}
+    params, batch_stats, missing = ti.convert_icl_unet2d(sd)
+    assert not missing
+
+    rng = np.random.default_rng(3)
+    x_lab = rng.normal(size=(1, 1, 256, 256)).astype(np.float32)
+    x_unl = rng.normal(size=(1, 1, 256, 256)).astype(np.float32)
+
+    model = UNetICL(in_chns=1, class_num=2)
+    expected = flax_structure(
+        model, nhwc(x_lab), nhwc(x_unl), train=False
+    )
+    assert_tree_structure(params, expected["params"], "unet_icl params")
+    assert_tree_structure(batch_stats, expected["batch_stats"], "unet_icl batch_stats")
+
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x_lab), torch.from_numpy(x_unl))
+    del ref
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        nhwc(x_lab), nhwc(x_unl), train=False,
+    )
+    assert_close(out_ref[0], out[0], 2e-4, "output_lab")
+    assert_close(out_ref[1], out[1], 2e-4, "output_unlab")
+    for name, idx in (("lab", 2), ("unlab", 3), ("consisunlab", 4)):
+        for i in range(3):
+            assert_close(out_ref[idx][i], out[idx][i], 2e-4,
+                         f"feat_maps_{name}[{i}]")
+
+
+# ----------------------------------------------------------------- losses
+def test_losses_match_reference():
+    import utils.losses as rl
+
+    from icl_tpu import losses as ol
+
+    rng = np.random.default_rng(4)
+    ncls = 4
+    logits = rng.normal(size=(2, ncls, 24, 24)).astype(np.float32)
+    labels = rng.integers(0, ncls, size=(2, 24, 24)).astype(np.int64)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+
+    lt = torch.from_numpy(logits)
+    yt = torch.from_numpy(labels)
+    pt = torch.from_numpy(probs)
+
+    def close(ref_val, ours, what, tol=1e-5):
+        r = float(ref_val)
+        o = float(ours)
+        assert abs(r - o) <= tol * max(1.0, abs(r)), f"{what}: {r} vs {o}"
+
+    ll = np.moveaxis(logits, 1, -1)  # channel-last for icl_tpu
+    pl = np.moveaxis(probs, 1, -1)
+
+    # DiceLoss (squared denominator), with and without softmax
+    ref_dice = rl.DiceLoss(ncls)
+    close(ref_dice(lt, torch.from_numpy(labels[:, None].astype(np.float32)),
+                   softmax=True),
+          ol.multiclass_dice_loss(jnp.asarray(ll), jnp.asarray(labels), ncls,
+                                  softmax=True), "DiceLoss(softmax)")
+    close(ref_dice(pt, torch.from_numpy(labels[:, None].astype(np.float32))),
+          ol.multiclass_dice_loss(jnp.asarray(pl), jnp.asarray(labels), ncls),
+          "DiceLoss(probs)")
+
+    # dice_loss / dice_loss1 (global soft dice)
+    close(rl.dice_loss(pt[:, 1], (yt == 1).float()),
+          ol.dice_loss_squared(jnp.asarray(probs[:, 1]),
+                               jnp.asarray((labels == 1).astype(np.float32))),
+          "dice_loss")
+    close(rl.dice_loss1(pt[:, 1], (yt == 1).float()),
+          ol.dice_loss_linear(jnp.asarray(probs[:, 1]),
+                              jnp.asarray((labels == 1).astype(np.float32))),
+          "dice_loss1")
+
+    # CE
+    close(torch.nn.CrossEntropyLoss()(lt, yt),
+          ol.cross_entropy_loss(jnp.asarray(ll), jnp.asarray(labels)),
+          "CrossEntropy")
+
+    # softmax_dice_loss
+    tgt = rng.normal(size=(2, ncls, 24, 24)).astype(np.float32)
+    close(rl.softmax_dice_loss(lt, torch.from_numpy(tgt)),
+          ol.softmax_dice_loss(jnp.asarray(ll), jnp.asarray(np.moveaxis(tgt, 1, -1))),
+          "softmax_dice_loss")
+
+    # Multi-scale ICL losses: 3 scales of class maps at 6/12/24
+    fm_np = [rng.normal(size=(2, ncls, s, s)).astype(np.float32) for s in (6, 12, 24)]
+    fm_t = [torch.from_numpy(f) for f in fm_np]
+    fm_l = [jnp.asarray(np.moveaxis(f, 1, -1)) for f in fm_np]
+
+    close(rl.AuxLoss(ncls, resize=[24, 24])(fm_t, yt),
+          ol.aux_loss(fm_l, jnp.asarray(labels), ncls, (24, 24)),
+          "AuxLoss", tol=1e-4)
+    close(rl.PseudoSoftLoss(ncls, resize=[24, 24])(fm_t, lt),
+          ol.pseudo_soft_loss(fm_l, jnp.asarray(ll), (24, 24)),
+          "PseudoSoftLoss", tol=1e-4)
+
+    fm2_np = [rng.normal(size=f.shape).astype(np.float32) for f in fm_np]
+    close(rl.softmax_mse_loss(fm_t, [torch.from_numpy(f) for f in fm2_np]),
+          ol.softmax_mse_loss(fm_l, [jnp.asarray(np.moveaxis(f, 1, -1))
+                                     for f in fm2_np]),
+          "softmax_mse_loss")
+
+
+def test_aux_loss_3d_matches_reference():
+    import utils.losses as rl
+
+    from icl_tpu import losses as ol
+
+    rng = np.random.default_rng(5)
+    ncls = 2
+    labels = rng.integers(0, ncls, size=(1, 12, 12, 12)).astype(np.int64)
+    fm_np = [rng.normal(size=(1, ncls, s, s, s)).astype(np.float32)
+             for s in (3, 6, 12)]
+    fm_t = [torch.from_numpy(f) for f in fm_np]
+    fm_l = [jnp.asarray(np.moveaxis(f, 1, -1)) for f in fm_np]
+    yt = torch.from_numpy(labels)
+
+    # AuxLoss3D hard-codes resize [96,96,96]; the math is identical for
+    # any target size, so compare a 12³ variant through the same classes
+    # by monkeypatching the size (forward reads the local, so re-run the
+    # reference formula with interpolate to 12³ via AuxLoss semantics).
+    ref = 0.0
+    ce = torch.nn.CrossEntropyLoss()
+    dl = rl.DiceLoss(ncls)
+    for f in fm_t:
+        up = torch.nn.functional.interpolate(f, size=[12, 12, 12], mode="trilinear")
+        ref = ref + ce(up, yt) / 3 + dl(up, yt.unsqueeze(1).float(), softmax=True) / 3
+    ours = ol.aux_loss(fm_l, jnp.asarray(labels), ncls, (12, 12, 12))
+    assert abs(float(ref) - float(ours)) <= 1e-4 * max(1.0, abs(float(ref)))
