@@ -65,6 +65,9 @@ class ExperimentConfig:
     mesh_data: int = -1  # -1 = all devices on the data axis
     mesh_model: int = 1
     experiments_dir: str = "../experiments"
+    # Extra kwargs forwarded to net_factory (e.g. feature_size /
+    # window_size for the SwinUNETR family).
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
 
     @property
     def snapshot_path(self) -> str:

@@ -167,3 +167,65 @@ def device_stream(
             }
 
     return iter(Prefetcher((put(b) for b in batches), buffer_size=prefetch))
+
+
+def cta_batches(
+    dataset: ACDCDataset,
+    labeled_count: int,
+    batch_size: int,
+    labeled_bs: int,
+    patch_size,
+    cta,
+    seed: int = 1337,
+) -> Iterator[dict]:
+    """CTAugment-active two-stream batches (the path the reference wires
+    into BaseDataSets via ops_weak/ops_strong, dataset.py:67-68,135-140,
+    but never activates from an entry script).
+
+    Per batch, weak/strong policies are sampled from the LIVE `cta`
+    learner (so rate updates take effect on the next batch) and applied
+    per-sample through CTATransform. Each batch also carries one probe:
+    a labeled slice augmented with a probe policy (probe=True draws
+    uniform magnitudes, ctaugment.py CTAugment.policy) plus the policy
+    itself under the host-only key 'probe_policy' — the trainer computes
+    prediction proximity on the probe and calls cta.update_rates.
+    """
+    from icl_tpu.data.ctaugment import cta_apply
+    from icl_tpu.data.transforms import CTATransform, zoom_to
+
+    total = len(dataset)
+    labeled_idxs = list(range(0, labeled_count))
+    unlabeled_idxs = list(range(labeled_count, total))
+    transform = CTATransform(patch_size, cta)
+    rng = np.random.default_rng(seed + 2)
+    batches = two_stream_batches(
+        labeled_idxs, unlabeled_idxs, batch_size, batch_size - labeled_bs, seed=seed
+    )
+    for idxs in batches:
+        ops_weak = cta.policy(probe=False, weak=True)
+        ops_strong = cta.policy(probe=False, weak=False)
+        weak, strong, labs = [], [], []
+        for i in idxs:
+            item = dataset[i]
+            s = transform(item["image"], item["label"], ops_weak, ops_strong)
+            weak.append(s["image_weak"])
+            strong.append(s["image_strong"])
+            labs.append(s["label_aug"])
+
+        # probe: one random labeled slice through a probe policy
+        probe_policy = cta.policy(probe=True, weak=False)
+        p_item = dataset[int(rng.choice(labeled_idxs))]
+        p_img = zoom_to(p_item["image"].astype(np.float32), tuple(patch_size))
+        p_lab = zoom_to(p_item["label"].astype(np.float32) / 255.0,
+                        tuple(patch_size))
+        p_img = cta_apply(p_img, probe_policy)
+        p_lab = np.round(255 * cta_apply(p_lab, probe_policy)).astype(np.int32)
+
+        yield {
+            "image_weak": np.stack(weak).astype(np.float32),
+            "image_strong": np.stack(strong).astype(np.float32),
+            "label_aug": np.stack(labs).astype(np.int32),
+            "probe_image": p_img.astype(np.float32)[None, ..., None],
+            "probe_label": p_lab[None],
+            "probe_policy": probe_policy,
+        }

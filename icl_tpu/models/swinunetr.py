@@ -136,8 +136,140 @@ class WindowAttention3D(nn.Module):
         return SwinDense(C, name="proj")(out)
 
 
+def drop_path_traced(x, rate, rng, train: bool):
+    """DropPath with a TRACED rate (scan-friendly; rate is a scanned
+    per-block input). Matches models.layers.DropPath numerics: with
+    rate 0 the Bernoulli mask is all-True and x/1.0 is exact."""
+    if not train:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class SwinBlock3DScanBody(nn.Module):
+    """Shape-uniform 3D Swin block body for `nn.scan` over a stage's
+    same-shape blocks (VERDICT r1 item 2: the unrolled per-block HLO put
+    the 3D Swin step at ~10 min compile).
+
+    Per-block differences become scanned INPUTS instead of distinct HLO:
+      * shift_flag (0./1.) — cyclic shift via jnp.roll with a traced
+        shift (flag · window//2); identical to the static roll.
+      * mask [nW, N, N]    — always added; zeros for unshifted blocks
+        (numerically identical to the reference's None path).
+      * dp_rate            — traced DropPath rate (dpr ramp per block).
+
+    Numerics are bit-identical to the unrolled SwinBlock3D: same pad →
+    roll → window partition → attention(+bias, +mask) → reverse → crop
+    → residual/MLP sequence (reference swinunetr.py:496-660)."""
+
+    dim: int
+    num_heads: int
+    window_size: Sequence[int]  # effective (shrunk) per-stage ws
+    base_shift: Sequence[int]   # shrunk shift; roll skipped if all-zero
+    mlp_ratio: float = 4.0
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, scanned):
+        shift_flag, mask, dp_rate = scanned
+        train = self.train
+        B, D, Hd, W, C = x.shape
+        ws, ss = self.window_size, self.base_shift
+
+        shortcut = x
+        h = SwinLayerNorm(name="norm1")(x)
+        pads = [(0, (w - d % w) % w) for d, w in zip((D, Hd, W), ws)]
+        if any(p[1] for p in pads):
+            h = jnp.pad(h, [(0, 0)] + pads + [(0, 0)])
+        dp_, hp_, wp_ = h.shape[1:4]
+
+        do_shift = any(s > 0 for s in ss)
+        if do_shift:
+            roll = tuple(-(shift_flag * s) for s in ss)
+            h = jnp.roll(h, shift=roll, axis=(1, 2, 3))
+
+        windows = window_partition_3d(h, ws)
+        attn_windows = WindowAttention3D(C, ws, self.num_heads, name="attn")(
+            windows, mask=mask
+        )
+        h = window_reverse_3d(attn_windows, ws, (h.shape[0], dp_, hp_, wp_))
+        if do_shift:
+            h = jnp.roll(h, shift=tuple(shift_flag * s for s in ss), axis=(1, 2, 3))
+        h = h[:, :D, :Hd, :W, :]
+
+        rng1 = self.make_rng("dropout") if train else None
+        x = shortcut + drop_path_traced(h, dp_rate, rng1, train)
+        hidden = int(C * self.mlp_ratio)
+        mlp = SwinDense(hidden, name="mlp_linear1")
+        mlp2 = SwinDense(C, name="mlp_linear2")
+        y = mlp2(gelu_exact(mlp(SwinLayerNorm(name="norm2")(x))))
+        rng2 = self.make_rng("dropout") if train else None
+        x = x + drop_path_traced(y, dp_rate, rng2, train)
+        return x, None
+
+
+class SwinStage3D(nn.Module):
+    """One Swin stage = lax.scan over `depth` same-shape blocks with
+    stacked params (leading axis = block index). Halves-to-quarters the
+    stage HLO vs the unrolled loop; the torch converters stack the
+    per-block reference weights along axis 0 (convert_swinvit3d)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: Sequence[int] = (7, 7, 7)
+    drop_paths: Sequence[float] = ()
+    mlp_ratio: float = 4.0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        B, D, Hd, W, C = x.shape
+        ws, ss = get_window_size_3d(
+            (D, Hd, W), self.window_size,
+            tuple(w // 2 for w in self.window_size),
+        )
+        padded = tuple(d + (w - d % w) % w for d, w in zip((D, Hd, W), ws))
+        nW = int(np.prod([p // w for p, w in zip(padded, ws)]))
+        N = int(np.prod(ws))
+
+        shifted_mask = compute_mask_3d(padded, ws, ss)
+        masks, flags, rates = [], [], []
+        for b in range(self.depth):
+            is_shift = b % 2 == 1 and shifted_mask is not None
+            masks.append(shifted_mask if is_shift else np.zeros((nW, N, N), np.float32))
+            flags.append(1 if b % 2 == 1 else 0)
+            rates.append(self.drop_paths[b] if self.drop_paths else 0.0)
+        scanned = (
+            jnp.asarray(flags, jnp.int32),
+            jnp.asarray(np.stack(masks)),
+            jnp.asarray(rates, jnp.float32),
+        )
+
+        body = SwinBlock3DScanBody
+        if self.remat:
+            body = nn.remat(body)
+        Blocks = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            length=self.depth,
+        )
+        x, _ = Blocks(
+            self.dim, self.num_heads, ws, ss, self.mlp_ratio, train,
+            name="blocks",
+        )(x, scanned)
+        return x
+
+
 class SwinBlock3D(nn.Module):
-    """3D Swin block with pad-to-window + crop (swinunetr.py:496-660)."""
+    """3D Swin block with pad-to-window + crop (swinunetr.py:496-660).
+    Reference (unrolled) implementation — kept as the numerical oracle
+    for the scanned stage (tests/test_swin_scan.py) and for single-block
+    use."""
 
     dim: int
     num_heads: int
@@ -229,29 +361,24 @@ class SwinViT3D(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
-        # Block-level rematerialization: 3D Swin activations are the HBM
-        # peak of the backward pass (the reference plumbs use_checkpoint
-        # for exactly this, swinunetr_icl.py:905-915).
-        Block = (
-            nn.remat(SwinBlock3D, static_argnums=(2,)) if self.remat else SwinBlock3D
-        )
         # PatchEmbed: conv k=s=2 (torch default init)
         x = TorchConv(self.embed_dim, (2, 2, 2), strides=(2, 2, 2),
                       name="patch_embed_proj")(x)
         outs = [layer_norm_no_affine(x) if self.normalize else x]
         for i in range(len(self.depths)):
             dim = self.embed_dim * 2**i
-            for b in range(self.depths[i]):
-                shift = (
-                    (0, 0, 0)
-                    if b % 2 == 0
-                    else tuple(w // 2 for w in self.window_size)
-                )
-                x = Block(
-                    dim, self.num_heads[i], self.window_size, shift,
-                    drop_path=dpr[sum(self.depths[:i]) + b],
-                    name=f"layers{i + 1}_block{b}",
-                )(x, train)
+            # lax.scan over the stage's same-shape blocks (stacked
+            # params under layers{i+1}_blocks/blocks); block-level remat
+            # composes inside the scan body (the reference plumbs
+            # use_checkpoint per block, swinunetr_icl.py:905-915).
+            x = SwinStage3D(
+                dim, self.depths[i], self.num_heads[i], self.window_size,
+                drop_paths=tuple(
+                    dpr[sum(self.depths[:i]) + b] for b in range(self.depths[i])
+                ),
+                remat=self.remat,
+                name=f"layers{i + 1}_blocks",
+            )(x, train=train)
             x = PatchMerging3D(dim, name=f"layers{i + 1}_downsample")(x)
             outs.append(layer_norm_no_affine(x) if self.normalize else x)
         return outs

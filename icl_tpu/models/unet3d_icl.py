@@ -39,11 +39,24 @@ class UNet3DICL(nn.Module):
 
     def __call__(self, x_lab, x_unlab=None, *, train: bool = False,
                  inference: bool = False):
-        final_lab, feats_lab = self.backbone(x_lab, train=train)
-        if inference:
+        if inference or x_unlab is None:
+            final_lab, _ = self.backbone(x_lab, train=train)
             return final_lab
 
-        final_unlab, feats_unlab = self.backbone(x_unlab, train=train)
+        # One batched pass over [labeled; unlabeled] replaces the
+        # reference's encoder re-run per branch (unet_3D_icl.py:99-148):
+        # numerically identical because unet_3D normalizes per-sample
+        # only (InstanceNorm; dropout is per-element) — no BatchNorm
+        # coupling, unlike the 2D UNet family.
+        import jax.numpy as jnp
+
+        B_lab = x_lab.shape[0]
+        final, feats = self.backbone(
+            jnp.concatenate([x_lab, x_unlab], axis=0), train=train
+        )
+        final_lab, final_unlab = final[:B_lab], final[B_lab:]
+        feats_lab = [f[:B_lab] for f in feats]
+        feats_unlab = [f[B_lab:] for f in feats]
 
         feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
         feat_maps_consis, _ = self.sspa(feats_unlab, modal="labeled", train=train)

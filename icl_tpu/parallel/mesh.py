@@ -36,31 +36,72 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-# Tensor-parallel rules: the ICL Class_Decoder token-MLP ("mlp2") holds
-# N_patch×N_patch kernels (up to 16384² for the 2D UNet at 256² patches,
-# unet_icl.py:354-355) — by far the largest weights in the framework.
-# Shard their output/input dims over the model axis.
+# Tensor-parallel rules, Megatron column→row pairs throughout (column
+# shards the output dim + bias; the paired row layer shards the input
+# dim and keeps bias replicated, XLA inserting the psum).
+#
+#  * ICL Class_Decoder token-MLP ("mlp2"): N_patch×N_patch kernels (up
+#    to 16384² for the 2D UNet at 256² patches, unet_icl.py:354-355) —
+#    by far the largest weights in the framework.
+#  * Swin window attention qkv→proj and block MLPs, both dialects
+#    (2D swin2d.py `mlp/fc1|fc2`, 3D swinunetr.py `mlp_linear1|2`).
+#    qkv output is [3·heads·hd]; the model axis divides the head dim
+#    whenever heads % tp == 0 (Swin-T heads 3/6/12/24 → tp 2 or 3).
+#  * ICL Query_Attention fc_q/fc_kv column + proj row (shared `attn`
+#    naming with Swin blocks, icl.py).
+#  * Widest UNETR conv pair (16·fs=768 channels, swinunetr.py
+#    encoder10/decoder5): conv1 column (output channels — per-channel
+#    InstanceNorm and leaky-relu stay shard-local), conv2 row.
+#
+# NOTE: the fused Pallas window-attention kernel is not GSPMD-aware;
+# multi-chip runs with tp>1 should set ICL_TPU_PALLAS=0 (the XLA einsum
+# path partitions cleanly). CPU-mesh tests use the einsum path already.
 DEFAULT_PARAM_RULES: list[tuple[str, P]] = [
     (r".*mlp2/fc1/Dense_0/kernel", P(None, "model")),
     (r".*mlp2/fc1/Dense_0/bias", P("model")),
     (r".*mlp2/fc2/Dense_0/kernel", P("model", None)),
+    (r".*attn/qkv/Dense_0/kernel", P(None, "model")),
+    (r".*attn/qkv/Dense_0/bias", P("model")),
+    (r".*attn/fc_q/Dense_0/kernel", P(None, "model")),
+    (r".*attn/fc_q/Dense_0/bias", P("model")),
+    (r".*attn/fc_kv/Dense_0/kernel", P(None, "model")),
+    (r".*attn/fc_kv/Dense_0/bias", P("model")),
+    (r".*attn/proj/Dense_0/kernel", P("model", None)),
+    (r".*mlp/fc1/Dense_0/kernel", P(None, "model")),
+    (r".*mlp/fc1/Dense_0/bias", P("model")),
+    (r".*mlp/fc2/Dense_0/kernel", P("model", None)),
+    (r".*mlp_linear1/Dense_0/kernel", P(None, "model")),
+    (r".*mlp_linear1/Dense_0/bias", P("model")),
+    (r".*mlp_linear2/Dense_0/kernel", P("model", None)),
+    (r".*(encoder10|decoder5/conv_block)/conv1/Conv_0/kernel",
+     P(None, None, None, None, "model")),
+    (r".*(encoder10|decoder5/conv_block)/conv2/Conv_0/kernel",
+     P(None, None, None, "model", None)),
 ]
 
 
 def param_shardings(params, mesh: Mesh, rules: Sequence[tuple[str, P]] | None = None):
     """Build a NamedSharding pytree for `params` from (regex, spec) rules;
-    unmatched leaves are replicated."""
+    unmatched leaves are replicated.
+
+    Specs are RIGHT-aligned to the leaf rank: a rule written for an
+    unstacked [in, out] kernel also applies to the nn.scan-stacked
+    [depth, in, out] layout (SwinStage3D), replicating the extra leading
+    block axis."""
     rules = DEFAULT_PARAM_RULES if rules is None else rules
     compiled = [(re.compile(pat), spec) for pat, spec in rules]
 
-    def spec_for(path) -> NamedSharding:
+    def spec_for(path, leaf) -> NamedSharding:
         name = "/".join(getattr(k, "key", str(k)) for k in path)
+        rank = getattr(leaf, "ndim", 0)
         for pat, spec in compiled:
             if pat.fullmatch(name):
+                if len(spec) < rank:
+                    spec = P(*((None,) * (rank - len(spec)) + tuple(spec)))
                 return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(lambda p, _: spec_for(p), params)
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def shard_state(state, mesh: Mesh, rules=None):

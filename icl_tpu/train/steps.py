@@ -139,3 +139,80 @@ def make_icl_step(
         )
 
     return step
+
+
+def make_fixmatch_cta_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_classes: int,
+    labeled_bs: int,
+    conf_thresh: float = 0.95,
+    unsup_weight: float = 1.0,
+) -> Callable:
+    """FixMatch-style step for the CTAugment path (the consumer the
+    reference's dormant CTATransform wiring implies,
+    dataloaders/dataset.py:106-144): supervised CE+Dice on the weak
+    labeled sub-batch; confidence-masked CE between strong-view
+    predictions and weak-view pseudo-labels on the unlabeled sub-batch.
+
+    Both forwards run in one XLA program; the strong forward consumes
+    the batch stats produced by the weak forward (two sequential BN
+    updates, matching two eager torch calls)."""
+    import jax.numpy as jnp
+
+    def step(state: TrainState, batch, rng):
+        xw, xs = batch["image_weak"], batch["image_strong"]
+        y = batch["label_aug"]
+        rng_w, rng_s = jax.random.split(rng)
+
+        def loss_fn(params):
+            logits_w, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                xw, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng_w},
+            )
+            loss_ce = losses.cross_entropy_loss(
+                logits_w[:labeled_bs], y[:labeled_bs])
+            loss_dice = losses.multiclass_dice_loss(
+                logits_w[:labeled_bs], y[:labeled_bs], num_classes, softmax=True)
+
+            probs_u = jax.nn.softmax(
+                jax.lax.stop_gradient(logits_w[labeled_bs:]), axis=-1)
+            pseudo = jnp.argmax(probs_u, axis=-1)
+            mask = (jnp.max(probs_u, axis=-1) >= conf_thresh).astype(jnp.float32)
+
+            logits_s, mut = model.apply(
+                {"params": params, "batch_stats": mut["batch_stats"]},
+                xs[labeled_bs:], train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng_s},
+            )
+            ce_pix = optax.softmax_cross_entropy_with_integer_labels(
+                logits_s, pseudo)
+            loss_unsup = jnp.sum(ce_pix * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+            loss = loss_ce + loss_dice + unsup_weight * loss_unsup
+            metrics = {
+                "loss": loss,
+                "loss_ce": loss_ce,
+                "loss_dice": loss_dice,
+                "loss_unsup": loss_unsup,
+                "mask_ratio": jnp.mean(mask),
+            }
+            return loss, (mut["batch_stats"], metrics)
+
+        (loss, (new_bs, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    return step

@@ -30,7 +30,7 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         self.is_icl = cfg.model.startswith("icl_") or cfg.model.endswith("_icl")
-        model_kwargs = {}
+        model_kwargs = dict(cfg.model_kwargs)
         if self.is_icl:
             model_kwargs["patch_size"] = int(cfg.patch_size[0])
         # swinunetr models take block-level remat (the effective form for

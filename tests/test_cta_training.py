@@ -1,0 +1,68 @@
+"""CTAugment end-to-end (VERDICT r1 item 8): cta_batches supplies
+policy-augmented weak/strong pairs + a probe; CTATrainer runs the
+FixMatch step and updates op rates from probe proximity — done = a short
+train run with CTA active and rates moving."""
+import numpy as np
+import pytest
+
+import jax
+
+from icl_tpu.config import ExperimentConfig
+from icl_tpu.data.acdc import ACDCDataset
+from icl_tpu.data.ctaugment import CTAugment, OPS
+from icl_tpu.data.pipeline import cta_batches
+from icl_tpu.data.synth import make_synthetic_acdc
+from icl_tpu.train.cta import CTATrainer
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ACDC_cta")
+    return make_synthetic_acdc(str(root), num_slices=12, num_volumes=2, slice_size=16)
+
+
+def _flat_rates(cta):
+    return np.concatenate(
+        [np.concatenate(list(map(np.asarray, cta.rates[k])))
+         for k in sorted(OPS) if len(cta.rates[k])]
+    )
+
+
+def test_cta_batches_shapes(synth_root):
+    cta = CTAugment(seed=0)
+    ds = ACDCDataset(synth_root, "train")
+    it = cta_batches(ds, labeled_count=6, batch_size=4, labeled_bs=2,
+                     patch_size=(16, 16), cta=cta, seed=0)
+    b = next(it)
+    assert b["image_weak"].shape == (4, 16, 16, 1)
+    assert b["image_strong"].shape == (4, 16, 16, 1)
+    assert b["label_aug"].shape == (4, 16, 16)
+    assert b["probe_image"].shape == (1, 16, 16, 1)
+    assert b["probe_label"].shape == (1, 16, 16)
+    assert isinstance(b["probe_policy"], list) and len(b["probe_policy"]) == 2
+    # labels survive the PIL round-trip as class ids
+    assert set(np.unique(b["label_aug"])) <= set(range(4))
+
+
+def test_cta_training_moves_rates(synth_root, tmp_path):
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=10, base_lr=0.01,
+        experiments_dir=str(tmp_path), exp="cta_smoke", labeled_num=3,
+    )
+    cta = CTAugment(seed=1)
+    before = _flat_rates(cta).copy()
+
+    tr = CTATrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    ds = ACDCDataset(synth_root, "train")
+    batches = cta_batches(ds, labeled_count=6, batch_size=4, labeled_bs=2,
+                          patch_size=(16, 16), cta=cta, seed=0)
+    state = tr.fit(state, batches, cta, max_steps=10)
+
+    assert int(jax.device_get(state.step)) == 10
+    after = _flat_rates(cta)
+    moved = np.sum(np.abs(after - before) > 1e-6)
+    assert moved >= 10, f"only {moved} rate bins moved after 10 probes"
+    # stats() renders without error (the reference's printed diagnostics)
+    assert isinstance(cta.stats(), str)

@@ -53,3 +53,50 @@ def test_sharded_step_matches_single_device():
     m2k = np.asarray(jax.device_get(
         s2.params["sspa"]["class_decoder0"]["mlp2"]["fc1"]["Dense_0"]["kernel"]))
     np.testing.assert_allclose(m1k, m2k, atol=5e-5)
+
+
+def test_swinunetr_icl_sharded_step_matches_single_device():
+    """dp4×tp2 SwinUNETR-ICL (VERDICT r1 item 6): the Swin qkv/proj/mlp +
+    UNETR conv TP rules must not change the math. Tiny 32³ config,
+    feature_size 12 (heads 3/6/12/24 all divisible by tp=2)."""
+    cfg = ExperimentConfig(
+        model="swinunetr_icl", patch_size=(32, 32, 32), batch_size=4,
+        labeled_bs=2, num_classes=2, max_iterations=10, consis_weight=10.0,
+        model_kwargs={"feature_size": 12, "window_size": (4, 4, 4)},
+    )
+    rng = np.random.default_rng(1)
+    b = {
+        "image": rng.normal(size=(4, 32, 32, 32, 1)).astype(np.float32),
+        "label": rng.integers(0, 2, size=(4, 32, 32, 32)).astype(np.int32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    tr1 = Trainer(cfg)
+    s1 = tr1.init_state(jax.random.PRNGKey(0))
+    s1, m1 = tr1.step_jit(s1, {k: jnp.asarray(v) for k, v in b.items()}, key)
+
+    mesh = create_mesh(data=4, model=2)
+    tr2 = Trainer(cfg, mesh=mesh)
+    s2 = tr2.init_state(jax.random.PRNGKey(0))
+    db = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in b.items()}
+    s2, m2 = tr2.step_jit(s2, db, key)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4, (
+        float(m1["loss"]), float(m2["loss"])
+    )
+    # spot-check updated TP-sharded leaves: a Swin qkv kernel and a
+    # UNETR encoder10 conv kernel
+    def leaf(s, *path):
+        node = s.params
+        for k in path:
+            node = node[k]
+        return np.asarray(jax.device_get(node))
+
+    for path in (
+        ("backbone", "swinViT", "layers1_blocks", "blocks", "attn", "qkv",
+         "Dense_0", "kernel"),
+        ("backbone", "encoder10", "conv1", "Conv_0", "kernel"),
+        ("backbone", "out", "Conv_0", "kernel"),
+    ):
+        np.testing.assert_allclose(leaf(s1, *path), leaf(s2, *path),
+                                   atol=5e-5, err_msg="/".join(path))

@@ -1,0 +1,58 @@
+"""scripts/parity_run.py dry-run on synthetic fixtures (VERDICT r1 item
+10): the harness must execute end-to-end without real data, and — since
+the synthetic checkpoint is a real reference state_dict pushed through
+the converters — the torch-side and jax-side metrics must agree."""
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+_SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts", "parity_run.py")
+_spec = importlib.util.spec_from_file_location("parity_run", _SCRIPT)
+parity_run = importlib.util.module_from_spec(_spec)
+sys.modules["parity_run"] = parity_run
+_spec.loader.exec_module(parity_run)
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/code"), reason="reference tree absent"
+)
+
+
+@needs_ref
+def test_synthetic_acdc_side_by_side():
+    args = parity_run.parse_args(
+        ["--dataset", "ACDC", "--model", "unet", "--num_classes", "4",
+         "--synthetic", "--torch_side", "on"]
+    )
+    result = parity_run.run(args)
+    assert result["cases"] == 2
+    # identical checkpoint + identical protocol → identical hard labels
+    # (both sides argmax fp32 forwards; order-0 zoom is deterministic)
+    assert result["max_class_delta"]["dice"] <= 1e-6
+    assert result["max_class_delta"]["hd95"] <= 1e-6
+
+
+@needs_ref
+def test_synthetic_brats_side_by_side():
+    args = parity_run.parse_args(
+        ["--dataset", "BraTS", "--model", "unet_3D", "--num_classes", "2",
+         "--synthetic", "--torch_side", "on"]
+    )
+    result = parity_run.run(args)
+    assert result["cases"] == 1
+    assert result["max_class_delta"]["dice"] <= 1e-6
+    assert result["max_class_delta"]["hd95"] <= 1e-6
+
+
+def test_jax_only_mode_runs():
+    args = parity_run.parse_args(
+        ["--dataset", "ACDC", "--model", "unet", "--num_classes", "4",
+         "--synthetic", "--torch_side", "off"]
+    )
+    result = parity_run.run(args)
+    assert "icl_tpu" in result and "torch_reference" not in result

@@ -1,6 +1,7 @@
 """convert_swinvit3d structural coverage: every Dense/LayerNorm/bias-
 table/patch-embed leaf of a real SwinViT3D tree is produced by the
-converter with the right shape."""
+converter with the right shape — including the nn.scan STACKED per-stage
+block layout (layers{i}_blocks/blocks/... with a leading block axis)."""
 import numpy as np
 
 import jax
@@ -8,6 +9,8 @@ import jax.numpy as jnp
 
 from icl_tpu.models.swinunetr import SwinViT3D
 from icl_tpu.utils import torch_import as ti
+
+DEPTHS = (2, 2, 2, 2)
 
 
 def _flatten(tree, prefix=()):
@@ -20,39 +23,46 @@ def _flatten(tree, prefix=()):
     return out
 
 
+def _block_torch_keys(path):
+    """Stacked flax path under layers{i}_blocks/blocks -> list of
+    per-block SSL-dialect torch keys (leading axis = block index)."""
+    layer = path[0].split("_")[0]  # layers1
+    t_layer = f"{layer}.0"
+    depth = DEPTHS[int(layer[len("layers"):]) - 1]
+    rest = path[2:]
+    leaf = {"kernel": "weight", "scale": "weight", "bias": "bias"}.get(path[-1])
+    keys = []
+    for b in range(depth):
+        t = f"{t_layer}.blocks.{b}"
+        if rest[0] in ("norm1", "norm2"):
+            keys.append(f"{t}.{rest[0]}.{leaf}")
+        elif rest == ("attn", "relative_position_bias_table"):
+            keys.append(f"{t}.attn.relative_position_bias_table")
+        elif rest[0] == "attn":
+            keys.append(f"{t}.attn.{rest[1]}.{leaf}")
+        elif rest[0] in ("mlp_linear1", "mlp_linear2"):
+            fc = "fc1" if rest[0].endswith("1") else "fc2"
+            keys.append(f"{t}.mlp.{fc}.{leaf}")
+        else:
+            raise KeyError(path)
+    return keys
+
+
 def _torch_key(path):
-    """flax path -> SSL-dialect torch key (inverse of convert_swinvit3d)."""
-    name = "/".join(path)
+    """Unstacked flax path -> SSL-dialect torch key."""
     if path[0] == "patch_embed_proj":
         return "patch_embed.proj." + ("weight" if path[-1] == "kernel" else "bias")
-    mod = path[0]  # e.g. layers1_block0 / layers1_downsample
-    layer, sub = mod.split("_", 1)
+    layer, sub = path[0].split("_", 1)
     t_layer = f"{layer}.0"
-    if path[-1] == "relative_position_bias_table":
-        b = sub[len("block"):]
-        return f"{t_layer}.blocks.{b}.attn.relative_position_bias_table"
     leaf = {"kernel": "weight", "scale": "weight", "bias": "bias"}[path[-1]]
-    if sub.startswith("block"):
-        b = sub[len("block"):]
-        rest = path[1]
-        if rest in ("norm1", "norm2"):
-            return f"{t_layer}.blocks.{b}.{rest}.{leaf}"
-        if rest == "attn":
-            if path[2] == "relative_position_bias_table":
-                return f"{t_layer}.blocks.{b}.attn.relative_position_bias_table"
-            return f"{t_layer}.blocks.{b}.attn.{path[2]}.{leaf}"
-        if rest in ("mlp_linear1", "mlp_linear2"):
-            fc = "fc1" if rest.endswith("1") else "fc2"
-            return f"{t_layer}.blocks.{b}.mlp.{fc}.{leaf}"
-    if sub == "downsample":
-        if path[1] == "reduction":
-            return f"{t_layer}.downsample.reduction.weight"
-        return f"{t_layer}.downsample.norm.{leaf}"
-    raise KeyError(name)
+    assert sub == "downsample", path
+    if path[1] == "reduction":
+        return f"{t_layer}.downsample.reduction.weight"
+    return f"{t_layer}.downsample.norm.{leaf}"
 
 
 def test_swinvit3d_converter_full_coverage():
-    m = SwinViT3D(in_chans=1, embed_dim=12, depths=(2, 2, 2, 2),
+    m = SwinViT3D(in_chans=1, embed_dim=12, depths=DEPTHS,
                   num_heads=(2, 2, 2, 2), window_size=(2, 2, 2))
     v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
                jnp.zeros((1, 32, 32, 32, 1)), train=False)
@@ -61,11 +71,18 @@ def test_swinvit3d_converter_full_coverage():
     rng = np.random.default_rng(0)
     sd = {}
     for path, ref in flat.items():
+        if len(path) > 1 and path[1] == "blocks":
+            # stacked leaf: one torch key per block, unstacked shape
+            for b, t_key in enumerate(_block_torch_keys(path)):
+                shape = ref.shape[1:]
+                if path[-1] == "kernel":
+                    shape = shape[::-1]  # linear
+                sd[t_key] = rng.normal(size=shape).astype(np.float32)
+            continue
         t_key = _torch_key(path)
-        leaf = path[-1]
-        if leaf == "kernel" and "patch_embed" in path[0]:
+        if path[-1] == "kernel" and "patch_embed" in path[0]:
             shape = (ref.shape[-1], ref.shape[-2]) + ref.shape[:-2]  # conv
-        elif leaf == "kernel":
+        elif path[-1] == "kernel":
             shape = ref.shape[::-1]  # linear
         else:
             shape = ref.shape
@@ -76,6 +93,13 @@ def test_swinvit3d_converter_full_coverage():
     assert not missing, sorted(missing)[:5]
     for path, val in converted.items():
         assert val.shape == flat[path].shape, path
+
+    # round-trip spot check: stacked block b of qkv equals its torch key
+    p = ("layers1_blocks", "blocks", "attn", "qkv", "Dense_0", "kernel")
+    for b in range(DEPTHS[0]):
+        np.testing.assert_array_equal(
+            converted[p][b], sd[f"layers1.0.blocks.{b}.attn.qkv.weight"].T
+        )
 
 
 def test_ssl_fixup_prefixes():

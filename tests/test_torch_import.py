@@ -158,3 +158,22 @@ def test_imagenet_swin_remap():
     out = ti.imagenet_swin_remap(sd)
     assert "layers_up.3.blocks.0.norm1.weight" in out
     assert "head.weight" not in out
+
+
+def test_prune_mismatched_reports_drops(caplog):
+    import logging
+
+    dst = {"a": {"w": np.zeros((3, 3)), "b": np.zeros(3)},
+           "c": np.zeros(5)}
+    src = {"a": {"w": np.zeros((3, 3)), "b": np.zeros(4)},  # shape mismatch
+           "c": np.zeros(5),
+           "ghost": np.zeros(1)}  # absent from model
+    kept, dropped = ti.prune_mismatched(dst, src)
+    assert set(kept) == {"a", "c"}
+    assert set(kept["a"]) == {"w"}
+    reasons = dict(dropped)
+    assert "a/b" in reasons and "shape (4,)" in reasons["a/b"]
+    assert reasons["ghost"] == "no such parameter"
+    with caplog.at_level(logging.INFO):
+        ti._report_dropped(dropped, "test ckpt")
+    assert sum("delete key" in r.message for r in caplog.records) == 2
