@@ -49,6 +49,9 @@ class ExperimentConfig:
     # reference's --resume flag is parsed but dead, net_factory.py:48).
     # 0 disables; N saves the full TrainState every N iterations.
     checkpoint_interval: int = 0
+    # Rolling retention for periodic checkpoints (keep-last-N step files;
+    # `state_last.msgpack` always tracks the newest).
+    keep_checkpoints: int = 3
 
     # TPU-native knobs
     precision: str = "float32"  # 'float32' (parity) | 'bfloat16' (perf)

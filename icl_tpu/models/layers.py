@@ -76,6 +76,7 @@ class TorchConvTranspose(nn.Module):
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -85,6 +86,7 @@ class TorchConvTranspose(nn.Module):
             tuple(self.kernel_size),
             strides=tuple(self.strides),
             padding="VALID",
+            use_bias=self.use_bias,
             kernel_init=torch_transpose_kernel_init,
             bias_init=make_torch_bias_init(fan_in),
         )(x)

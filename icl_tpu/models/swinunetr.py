@@ -72,8 +72,13 @@ def relative_position_index_3d(ws) -> np.ndarray:
     return rel.sum(-1)
 
 
-def compute_mask_3d(dims, ws, ss) -> Optional[np.ndarray]:
-    """Shifted-window attention mask (swinunetr.py:724-760), host numpy."""
+def window_region_ids_3d(dims, ws, ss) -> Optional[np.ndarray]:
+    """Per-window-token shift-region ids [nW, N] (the `mw` intermediate
+    of the reference's compute_mask, swinunetr.py:724-752), or None when
+    no dim shifts. The full [nW, N, N] mask is synthesized ON DEVICE
+    from these (mask_from_region_ids) — embedding the cube as an HLO
+    constant is ~161MB for the 96³ stage-1 shape and overflows compile
+    RPC payloads; the ids are N³-fold smaller."""
     if not any(s > 0 for s in ss):
         return None
     D, H, W = dims
@@ -85,7 +90,24 @@ def compute_mask_3d(dims, ws, ss) -> Optional[np.ndarray]:
                 img_mask[:, d, h, w, :] = cnt
                 cnt += 1
     mw = img_mask.reshape(1, D // ws[0], ws[0], H // ws[1], ws[1], W // ws[2], ws[2], 1)
-    mw = mw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, ws[0] * ws[1] * ws[2])
+    return mw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        -1, ws[0] * ws[1] * ws[2]
+    ).astype(np.float32)
+
+
+def mask_from_region_ids(mw: jax.Array) -> jax.Array:
+    """[nW, N] region ids -> additive attention mask [nW, N, N]
+    (reference swinunetr.py:753-760 semantics)."""
+    diff = mw[:, None, :] - mw[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
+
+
+def compute_mask_3d(dims, ws, ss) -> Optional[np.ndarray]:
+    """Shifted-window attention mask (swinunetr.py:724-760), host numpy.
+    Kept for oracles/tests; the scanned stage uses the region-id form."""
+    mw = window_region_ids_3d(dims, ws, ss)
+    if mw is None:
+        return None
     attn_mask = mw[:, None, :] - mw[:, :, None]
     return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
 
@@ -156,9 +178,11 @@ class SwinBlock3DScanBody(nn.Module):
     Per-block differences become scanned INPUTS instead of distinct HLO:
       * shift_flag (0./1.) — cyclic shift via jnp.roll with a traced
         shift (flag · window//2); identical to the static roll.
-      * mask [nW, N, N]    — always added; zeros for unshifted blocks
-        (numerically identical to the reference's None path).
       * dp_rate            — traced DropPath rate (dpr ramp per block).
+    The shifted-window mask is synthesized in-body from broadcast
+    region ids (mask_from_region_ids · flag) — zero for unshifted
+    blocks, numerically identical to the reference's None path, and
+    N³-fold smaller as an HLO constant.
 
     Numerics are bit-identical to the unrolled SwinBlock3D: same pad →
     roll → window partition → attention(+bias, +mask) → reverse → crop
@@ -172,8 +196,8 @@ class SwinBlock3DScanBody(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, x, scanned):
-        shift_flag, mask, dp_rate = scanned
+    def __call__(self, x, scanned, region_ids):
+        shift_flag, dp_rate = scanned
         train = self.train
         B, D, Hd, W, C = x.shape
         ws, ss = self.window_size, self.base_shift
@@ -189,6 +213,9 @@ class SwinBlock3DScanBody(nn.Module):
         if do_shift:
             roll = tuple(-(shift_flag * s) for s in ss)
             h = jnp.roll(h, shift=roll, axis=(1, 2, 3))
+            mask = mask_from_region_ids(region_ids) * shift_flag.astype(jnp.float32)
+        else:
+            mask = None
 
         windows = window_partition_3d(h, ws)
         attn_windows = WindowAttention3D(C, ws, self.num_heads, name="attn")(
@@ -232,19 +259,18 @@ class SwinStage3D(nn.Module):
             tuple(w // 2 for w in self.window_size),
         )
         padded = tuple(d + (w - d % w) % w for d, w in zip((D, Hd, W), ws))
-        nW = int(np.prod([p // w for p, w in zip(padded, ws)]))
-        N = int(np.prod(ws))
 
-        shifted_mask = compute_mask_3d(padded, ws, ss)
-        masks, flags, rates = [], [], []
-        for b in range(self.depth):
-            is_shift = b % 2 == 1 and shifted_mask is not None
-            masks.append(shifted_mask if is_shift else np.zeros((nW, N, N), np.float32))
-            flags.append(1 if b % 2 == 1 else 0)
-            rates.append(self.drop_paths[b] if self.drop_paths else 0.0)
+        region_ids = window_region_ids_3d(padded, ws, ss)  # [nW, N] or None
+        if region_ids is None:
+            # no dim shifts at this stage: keep ss consistent so the
+            # body takes the mask-free path
+            ss = (0, 0, 0)
+            region_ids = np.zeros((1, 1), np.float32)  # unused broadcast
+        flags = [1 if b % 2 == 1 else 0 for b in range(self.depth)]
+        rates = [self.drop_paths[b] if self.drop_paths else 0.0
+                 for b in range(self.depth)]
         scanned = (
             jnp.asarray(flags, jnp.int32),
-            jnp.asarray(np.stack(masks)),
             jnp.asarray(rates, jnp.float32),
         )
 
@@ -255,13 +281,13 @@ class SwinStage3D(nn.Module):
             body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=0,
+            in_axes=(0, nn.broadcast),
             length=self.depth,
         )
         x, _ = Blocks(
             self.dim, self.num_heads, ws, ss, self.mlp_ratio, train,
             name="blocks",
-        )(x, scanned)
+        )(x, scanned, jnp.asarray(region_ids))
         return x
 
 
@@ -421,7 +447,11 @@ class UnetrUpBlock(nn.Module):
     def __call__(self, x, skip):
         from icl_tpu.models.layers import TorchConvTranspose
 
-        up = TorchConvTranspose(self.features, (2, 2, 2), (2, 2, 2), name="transp_conv")(x)
+        # MONAI's transp_conv is bias-free (dynunet_block.get_conv_layer
+        # default bias=False; the reference's UnetrUpBlock uses
+        # conv_only=True, swinunetr.py:176-223)
+        up = TorchConvTranspose(self.features, (2, 2, 2), (2, 2, 2),
+                                use_bias=False, name="transp_conv")(x)
         out = jnp.concatenate([up, skip], axis=-1)
         return UnetResBlock(self.features, name="conv_block")(out)
 

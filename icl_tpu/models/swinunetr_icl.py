@@ -49,22 +49,15 @@ class SwinUNETRICL(nn.Module):
         if inference or x_unlab is None:
             logits_lab, _ = self.backbone(x_lab, train=train)
             return logits_lab
-        # ONE batched backbone pass over [labeled; unlabeled] instead of
-        # the reference's two shared-weight calls (swinunetr_icl.py:
-        # 310-348). Numerically identical: SwinUNETR normalizes only
-        # per-sample (InstanceNorm) and per-token (LayerNorm) — there is
-        # no BatchNorm coupling samples, unlike the 2D UNet family where
-        # per-branch BN stats force two passes. Halves the step HLO and
-        # doubles the MXU batch.
-        import jax.numpy as jnp
-
-        B_lab = x_lab.shape[0]
-        logits, feats = self.backbone(
-            jnp.concatenate([x_lab, x_unlab], axis=0), train=train
-        )
-        logits_lab, logits_unlab = logits[:B_lab], logits[B_lab:]
-        feats_lab = [f[:B_lab] for f in feats]
-        feats_unlab = [f[B_lab:] for f in feats]
+        # Two sequential shared-weight passes, like the reference
+        # (swinunetr_icl.py:310-348). A single concatenated pass would be
+        # numerically identical (no BatchNorm in this backbone) but OOMs
+        # the 16G chip at the BraTS config: the full-res decoder1 conv
+        # temps double with batch (measured 17.1G > 15.75G HBM; C=48
+        # channel-last pads 2.7× to the 128-lane layout). UNet3DICL, with
+        # 16-channel full-res activations, does use the concat form.
+        logits_lab, feats_lab = self.backbone(x_lab, train=train)
+        logits_unlab, feats_unlab = self.backbone(x_unlab, train=train)
 
         # Only the first 3 taps are consumed (depths[:3] in the reference)
         feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)

@@ -230,8 +230,10 @@ class Trainer:
                     logger.info("saving best model at iter %d -> %s", iter_num, path)
 
             if cfg.checkpoint_interval and iter_num % cfg.checkpoint_interval == 0:
-                ckpt.save_train_state(snapshot, state, name="last")
-                logger.info("periodic checkpoint at iter %d", iter_num)
+                path = ckpt.save_train_state_rolling(
+                    snapshot, state, iter_num, keep=cfg.keep_checkpoints
+                )
+                logger.info("periodic checkpoint at iter %d -> %s", iter_num, path)
 
             if iter_num >= cfg.max_iterations:
                 break

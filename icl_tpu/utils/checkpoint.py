@@ -120,3 +120,46 @@ def load_train_state_orbax(snapshot_path: str, target, name: str = "last"):
     path = os.path.abspath(os.path.join(snapshot_path, "model", f"orbax_{name}"))
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target=target)
+
+
+# ---- rolling periodic checkpoints --------------------------------------------
+def save_train_state_rolling(snapshot_path: str, state, step: int,
+                             keep: int = 3) -> str:
+    """Periodic resumable checkpoint with keep-last-N pruning: saves
+    `state_step_{step:08d}.msgpack`, points `state_last.msgpack` at the
+    same bytes (hardlink when possible), and deletes older step files
+    beyond `keep`. Capability addition over the reference (whose
+    periodic save is commented out, train_…unet_2D.py:214-218)."""
+    model_dir = os.path.join(snapshot_path, "model")
+    path = os.path.join(model_dir, f"state_step_{step:08d}.msgpack")
+    save_pytree(path, jax.device_get(state))
+    last = os.path.join(model_dir, "state_last.msgpack")
+    try:
+        if os.path.exists(last) or os.path.islink(last):
+            os.remove(last)
+        os.link(path, last)
+    except OSError:
+        import shutil
+
+        shutil.copyfile(path, last)
+    for old in list_step_checkpoints(snapshot_path)[:-keep]:
+        os.remove(old)
+    return path
+
+
+def list_step_checkpoints(snapshot_path: str) -> list:
+    """Step-numbered checkpoints, oldest first."""
+    import glob
+
+    return sorted(
+        glob.glob(os.path.join(snapshot_path, "model", "state_step_*.msgpack"))
+    )
+
+
+def latest_checkpoint_step(snapshot_path: str) -> int:
+    """Step of the newest rolling checkpoint, or -1 if none exist."""
+    ckpts = list_step_checkpoints(snapshot_path)
+    if not ckpts:
+        return -1
+    name = os.path.basename(ckpts[-1])
+    return int(name[len("state_step_"):-len(".msgpack")])

@@ -750,3 +750,111 @@ def load_pretrained_swinunet(state, ckpt_path: str):
     target, dropped = prune_mismatched(params, target)
     _report_dropped(dropped, "ImageNet Swin checkpoint")
     return state.replace(params=_merge_into(params, target))
+
+
+# ---- SwinUNETR (full model, MONAI key layout) --------------------------------
+def _swinunetr_res_block_table(t_prefix: str, f_path: tuple, wrapped: bool,
+                               has_conv3: bool):
+    """MONAI UnetResBlock <-> flax UnetResBlock. UnetrBasicBlock wraps it
+    as `.layer` (wrapped=True); UnetrUpBlock's conv_block doesn't.
+    InstanceNorm is affine-free on both sides (no norm keys); convs are
+    bias-free (dynunet_block.get_conv_layer bias=False)."""
+    t = f"{t_prefix}.layer" if wrapped else t_prefix
+    names = ("conv1", "conv2") + (("conv3",) if has_conv3 else ())
+    return [
+        (f"{t}.{c}.conv.weight", f_path + (c, "Conv_0", "kernel"), t2f_conv)
+        for c in names
+    ]
+
+
+def swinunetr_conv_key_table(feature_size: int = 48):
+    """torch key -> (flax path, transform) for the UNETR conv half of
+    SwinUNETR (reference swinunetr.py:126-226): 5 UnetrBasicBlock
+    encoders, 5 UnetrUpBlock decoders, UnetOutBlock."""
+    table = []
+    # encoderN: conv3 present iff in_channels != out_channels
+    enc_has_conv3 = {
+        "encoder1": True,    # in_chns -> fs
+        "encoder2": False,   # fs -> fs
+        "encoder3": False,   # 2fs -> 2fs
+        "encoder4": False,   # 4fs -> 4fs
+        "encoder10": False,  # 16fs -> 16fs
+    }
+    for name, has3 in enc_has_conv3.items():
+        table += _swinunetr_res_block_table(name, (name,), True, has3)
+    for name in ("decoder5", "decoder4", "decoder3", "decoder2", "decoder1"):
+        table.append((f"{name}.transp_conv.conv.weight",
+                      (name, "transp_conv", "ConvTranspose_0", "kernel"),
+                      t2f_convT))
+        # conv_block input is concat(up, skip) -> conv3 always present
+        table += _swinunetr_res_block_table(
+            f"{name}.conv_block", (name, "conv_block"), False, True)
+    table.append(("out.conv.conv.weight", ("out", "Conv_0", "kernel"), t2f_conv))
+    table.append(("out.conv.conv.bias", ("out", "Conv_0", "bias"), None))
+    return table
+
+
+def convert_swinunetr_ckpt(sd: Dict[str, np.ndarray], depths=(2, 2, 2, 2)):
+    """Reference-trained SwinUNETR best checkpoint (full model; for
+    swinunetr_icl the sspa/uscl heads are stripped at save) -> complete
+    icl_tpu SwinUNETR param subtree: vendored-SwinViT keys
+    (swinViT.layers{i}.0.blocks...mlp.linear1, swinunetr.py:863-1010)
+    into the stacked scan layout + the UNETR conv table. Returns
+    (params, {}, missing)."""
+    sd = strip_prefix(sd, "module.")
+    swin_sd = {k[len("swinViT."):]: v for k, v in sd.items()
+               if k.startswith("swinViT.")}
+    # vendored blocks use MONAI MLPBlock naming (linear1/linear2)
+    swin_sd = {k.replace(".linear1.", ".fc1.").replace(".linear2.", ".fc2."): v
+               for k, v in swin_sd.items()}
+    params = {"swinViT": convert_swinvit3d(swin_sd, depths)}
+    conv_params, _, missing = _apply_table(sd, swinunetr_conv_key_table())
+    return _merge_into(params, conv_params), {}, missing
+
+
+def export_swinunetr(params: dict, depths=(2, 2, 2, 2)) -> Dict[str, np.ndarray]:
+    """icl_tpu SwinUNETR params (stacked scan layout) -> reference
+    state_dict (vendored-SwinViT + MONAI block keys), so the reference's
+    own test_3D_BraTS.py can evaluate our checkpoints."""
+    out = _export_table(params, {}, swinunetr_conv_key_table())
+
+    sv = params["swinViT"]
+    if "patch_embed_proj" in sv:
+        out["swinViT.patch_embed.proj.weight"] = f2t_conv(
+            np.asarray(sv["patch_embed_proj"]["Conv_0"]["kernel"]))
+        out["swinViT.patch_embed.proj.bias"] = np.asarray(
+            sv["patch_embed_proj"]["Conv_0"]["bias"])
+
+    def dense_pair(node, t_key, b=None):
+        k = np.asarray(node["Dense_0"]["kernel"])
+        if b is not None:
+            k = k[b]
+        out[t_key + ".weight"] = k.T
+        if "bias" in node["Dense_0"]:
+            v = np.asarray(node["Dense_0"]["bias"])
+            out[t_key + ".bias"] = v if b is None else v[b]
+
+    def lnorm_pair(node, t_key, b=None):
+        s = np.asarray(node["LayerNorm_0"]["scale"])
+        v = np.asarray(node["LayerNorm_0"]["bias"])
+        out[t_key + ".weight"] = s if b is None else s[b]
+        out[t_key + ".bias"] = v if b is None else v[b]
+
+    for li, depth in enumerate(depths):
+        layer = f"layers{li + 1}"
+        blocks = sv[f"{layer}_blocks"]["blocks"]
+        for b in range(depth):
+            t = f"swinViT.{layer}.0.blocks.{b}"
+            lnorm_pair(blocks["norm1"], f"{t}.norm1", b)
+            lnorm_pair(blocks["norm2"], f"{t}.norm2", b)
+            out[f"{t}.attn.relative_position_bias_table"] = np.asarray(
+                blocks["attn"]["relative_position_bias_table"])[b]
+            dense_pair(blocks["attn"]["qkv"], f"{t}.attn.qkv", b)
+            dense_pair(blocks["attn"]["proj"], f"{t}.attn.proj", b)
+            dense_pair(blocks["mlp_linear1"], f"{t}.mlp.linear1", b)
+            dense_pair(blocks["mlp_linear2"], f"{t}.mlp.linear2", b)
+        down = sv[f"{layer}_downsample"]
+        out[f"swinViT.{layer}.0.downsample.reduction.weight"] = np.asarray(
+            down["reduction"]["Dense_0"]["kernel"]).T
+        lnorm_pair(down["norm"], f"swinViT.{layer}.0.downsample.norm")
+    return out

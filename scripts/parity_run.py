@@ -54,6 +54,8 @@ MODEL_FAMILIES = {
     "icl_swinunet": ("2d", "swinunet", "convert_swinunet2d_ckpt"),
     "unet_3D": ("3d", "unet_3D", "convert_unet3d"),
     "unet_3D_icl": ("3d", "unet_3D", "convert_unet3d"),
+    "swinunetr": ("3d", "swinunetr", "convert_swinunetr_ckpt"),
+    "swinunetr_icl": ("3d", "swinunetr", "convert_swinunetr_ckpt"),
 }
 
 

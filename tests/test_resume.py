@@ -43,3 +43,31 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     restored, m = tr2.step_jit(restored, _batch(rng), jax.random.PRNGKey(9))
     assert int(jax.device_get(restored.step)) == 4
     assert np.isfinite(float(m["loss"]))
+
+
+def test_rolling_checkpoints_prune_to_keep_last_n(tmp_path):
+    cfg = ExperimentConfig(
+        model="unet", patch_size=(16, 16), batch_size=4, max_iterations=100,
+        experiments_dir=str(tmp_path), exp="rolling",
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+
+    from icl_tpu.utils import checkpoint as ck
+
+    for step in (10, 20, 30, 40, 50):
+        ck.save_train_state_rolling(cfg.snapshot_path, state, step, keep=3)
+
+    import os
+
+    kept = [os.path.basename(p) for p in ck.list_step_checkpoints(cfg.snapshot_path)]
+    assert kept == ["state_step_00000030.msgpack", "state_step_00000040.msgpack",
+                    "state_step_00000050.msgpack"]
+    assert ck.latest_checkpoint_step(cfg.snapshot_path) == 50
+
+    # state_last always tracks the newest -> restore_state(name='last')
+    restored = tr.restore_state(tr.init_state(jax.random.PRNGKey(1)), name="last")
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(restored.params["decoder"]["out_conv"]["Conv_0"]["kernel"])),
+        np.asarray(jax.device_get(state.params["decoder"]["out_conv"]["Conv_0"]["kernel"])),
+    )
