@@ -149,7 +149,11 @@ class WindowAttention(nn.Module):
 
         from icl_tpu.ops.flags import use_pallas_attention
 
-        if use_pallas_attention():
+        # N = 49 for window 7 — below the fused kernel's win threshold
+        # (measured on-chip at 2D stage-0 shapes: einsum 4.23 ms vs
+        # fused 4.52 ms; the kernel pays off from 3D window sizes,
+        # N = 343: 16.6 → 7.9 ms). Keep XLA for small windows.
+        if use_pallas_attention() and N >= 128:
             from icl_tpu.ops.pallas.window_attention import window_attention_fused
 
             m = jnp.asarray(mask) if mask is not None else None

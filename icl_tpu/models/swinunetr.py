@@ -121,7 +121,13 @@ class WindowAttention3D(nn.Module):
     qkv_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, mask: Optional[np.ndarray] = None):
+    def __call__(self, x, mask: Optional[np.ndarray] = None,
+                 region_ids: Optional[jax.Array] = None):
+        """`mask` is a dense [nW, N, N] additive mask; `region_ids`
+        ([nW, N], mutually exclusive) are shift-region ids from which
+        the mask is derived (mask_from_region_ids) — on the Pallas path
+        the derivation happens in-kernel, so the dense cube never exists
+        in HBM."""
         B_, N, C = x.shape
         H = self.num_heads
         hd = C // H
@@ -145,8 +151,11 @@ class WindowAttention3D(nn.Module):
             from icl_tpu.ops.pallas.window_attention import window_attention_fused
 
             m = jnp.asarray(mask) if mask is not None else None
-            out = window_attention_fused(q, k, v, rel_bias, m, scale=scale)
+            out = window_attention_fused(q, k, v, rel_bias, m, region_ids,
+                                         scale=scale)
         else:
+            if region_ids is not None and mask is None:
+                mask = mask_from_region_ids(region_ids)
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + rel_bias[None]
             if mask is not None:
                 nW = mask.shape[0]
@@ -213,13 +222,15 @@ class SwinBlock3DScanBody(nn.Module):
         if do_shift:
             roll = tuple(-(shift_flag * s) for s in ss)
             h = jnp.roll(h, shift=roll, axis=(1, 2, 3))
-            mask = mask_from_region_ids(region_ids) * shift_flag.astype(jnp.float32)
+            # flag-scaled region ids: diff(flag·mw) ≠ 0 ⟺ flag=1 ∧
+            # diff(mw) ≠ 0, so the derived mask is exactly flag·mask
+            rids = region_ids * shift_flag.astype(region_ids.dtype)
         else:
-            mask = None
+            rids = None
 
         windows = window_partition_3d(h, ws)
         attn_windows = WindowAttention3D(C, ws, self.num_heads, name="attn")(
-            windows, mask=mask
+            windows, region_ids=rids
         )
         h = window_reverse_3d(attn_windows, ws, (h.shape[0], dp_, hp_, wp_))
         if do_shift:

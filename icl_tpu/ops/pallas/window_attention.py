@@ -26,54 +26,127 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)  # [N, D]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[:, 0].astype(jnp.float32)  # [Wb, N, D]
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s + bias_ref[0] + mask_ref[0]
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [Wb, N, N]
+    s = s + bias_ref[0][None] + mask_ref[...]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out_ref[0, 0] = jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+    out_ref[:, 0] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[:, 0].astype(jnp.float32)  # [Wb, N, D]
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
-    s = s + bias_ref[0]
+    s = s + bias_ref[0][None]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    out_ref[0, 0] = jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+    out_ref[:, 0] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
-def _fused_forward(q, k, v, bias, mask, scale: float, interpret: bool):
+def _kernel_region(q_ref, k_ref, v_ref, bias_ref, mw_ref, out_ref, *, scale):
+    """Masked kernel synthesizing the shift mask IN-KERNEL from per-token
+    region ids ([Wb, N] block instead of a [Wb, N, N] mask block): frees
+    ~half the scoped VMEM of the masked path, allowing Wb>1, and removes
+    the [nW, N, N] dense mask from HBM entirely."""
+    q = q_ref[:, 0].astype(jnp.float32)  # [Wb, N, D]
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    mw = mw_ref[:, 0, :].astype(jnp.float32)  # [Wb, N]
+    diff = mw[:, None, :] - mw[:, :, None]
+    s = s + bias_ref[0][None] + jnp.where(diff != 0.0, -100.0, 0.0)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out_ref[:, 0] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+def _pick_window_block(B: int, nW: int, N: int, masked: bool = True,
+                       tile_nw: bool | None = None) -> int:
+    """Windows per grid step. Batching windows amortizes grid/DMA
+    overhead around the tiny per-window matmuls (N×D with D=head_dim 16
+    — K is 12.5% of the MXU anyway; the win is pipelining; measured
+    1.7× vs Wb=1 on 3D stage-1 shapes). Constraint: divide B (and nW
+    when a mask/region block tiles with the windows), and keep the
+    [Wb, N, N] f32 scores (+ mask block when masked) within budget."""
+    # Mosaic's scoped-VMEM ceiling is 16MB and it holds roughly 2.5×
+    # [Wb,N,N] f32 temps (scores/exp/prob) plus double-buffered blocks —
+    # measured: masked Wb=7 at N=343 → 16.46M (OOM), unmasked Wb=14 →
+    # 18.81M (OOM). A 5MB budget on the score block keeps both legal.
+    budget = 5 << 20
+    per_wb = N * N * 4 * (2 if masked else 1)
+    if tile_nw is None:
+        tile_nw = masked
+    for wb in (32, 28, 16, 14, 8, 7, 4, 2):
+        if B % wb or (tile_nw and nW % wb):
+            continue
+        if wb * per_wb <= budget:
+            return wb
+    return 1
+
+
+def _fused_forward(q, k, v, bias, mask, region_ids, scale: float,
+                   interpret: bool):
     B, H, N, D = q.shape
-    grid = (B, H)
-    qkv_spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+    if mask is not None:
+        nW = mask.shape[0]
+    elif region_ids is not None:
+        nW = region_ids.shape[0]
+    else:
+        nW = B
+    Wb = _pick_window_block(
+        B, nW, N, masked=mask is not None,
+        tile_nw=(mask is not None) or (region_ids is not None),
+    )
+    grid = (B // Wb, H)
+    qkv_spec = pl.BlockSpec((Wb, 1, N, D), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
+    out_spec = pl.BlockSpec((Wb, 1, N, D), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * B * H * (N * N * D * 2),
         bytes_accessed=4 * B * H * N * D * 4,
         transcendentals=B * H * N * N,
     )
+    if region_ids is not None:
+        # block b covers global windows [b·Wb, (b+1)·Wb); their region
+        # rows are (global % nW) — consecutive because Wb divides nW.
+        # [nW, 1, N] layout keeps the trailing block dims equal to the
+        # array dims (Mosaic tiling rule for non-8/128 blocks).
+        mw_spec = pl.BlockSpec((Wb, 1, N), lambda b, h: (b % (nW // Wb), 0, 0),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_region, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mw_spec],
+            out_specs=out_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v, bias, region_ids[:, None, :])
     if mask is not None:
-        nW = mask.shape[0]
-        mask_spec = pl.BlockSpec((1, N, N), lambda b, h: (b % nW, 0, 0),
+        # dense-mask path (legacy): mask rows tile like the region rows
+        mask_spec = pl.BlockSpec((Wb, N, N), lambda b, h: (b % (nW // Wb), 0, 0),
                                  memory_space=pltpu.VMEM)
         return pl.pallas_call(
             functools.partial(_kernel_masked, scale=scale),
@@ -95,14 +168,14 @@ def _fused_forward(q, k, v, bias, mask, scale: float, interpret: bool):
     )(q, k, v, bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused_attention(q, k, v, bias, mask, scale, interpret):
-    return _fused_forward(q, k, v, bias, mask, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_attention(q, k, v, bias, mask, region_ids, scale, interpret):
+    return _fused_forward(q, k, v, bias, mask, region_ids, scale, interpret)
 
 
-def _fused_attention_fwd(q, k, v, bias, mask, scale, interpret):
-    out = _fused_forward(q, k, v, bias, mask, scale, interpret)
-    return out, (q, k, v, bias, mask)
+def _fused_attention_fwd(q, k, v, bias, mask, region_ids, scale, interpret):
+    out = _fused_forward(q, k, v, bias, mask, region_ids, scale, interpret)
+    return out, (q, k, v, bias, mask, region_ids)
 
 
 def _fused_attention_bwd(scale, interpret, res, g):
@@ -110,10 +183,13 @@ def _fused_attention_bwd(scale, interpret, res, g):
     persisted in the forward) and form standard attention gradients incl.
     the relative-position-bias grad. Processed in window CHUNKS via
     lax.map so the [chunk, H, N, N] score/grad tensors stay ~tens of MB
-    instead of ~1GB for 3D Swin stage-1 shapes."""
-    q, k, v, bias, mask = res
+    instead of ~1GB for 3D Swin stage-1 shapes. With region_ids the
+    per-chunk mask is synthesized on the fly — the dense [nW, N, N] mask
+    never exists in HBM."""
+    q, k, v, bias, mask, region_ids = res
     B, H, N, D = q.shape
     bias32 = bias[None].astype(jnp.float32)
+    masked = mask is not None or region_ids is not None
 
     # chunk size: keep chunk·H·N·N·4B ≲ 32MB
     target = max(1, (32 << 20) // max(1, H * N * N * 4))
@@ -130,8 +206,8 @@ def _fused_attention_bwd(scale, interpret, res, g):
         pad_b(v).reshape(n_chunks, chunk, H, N, D),
         pad_b(g.astype(jnp.float32)).reshape(n_chunks, chunk, H, N, D),
     )
-    if mask is not None:
-        nW = mask.shape[0]
+    if masked:
+        nW = (mask if region_ids is None else region_ids).shape[0]
         widx = (jnp.arange(n_chunks * chunk) % nW).reshape(n_chunks, chunk)
     else:
         widx = jnp.zeros((n_chunks, chunk), jnp.int32)
@@ -139,7 +215,11 @@ def _fused_attention_bwd(scale, interpret, res, g):
     def chunk_bwd(args):
         qc, kc, vc, gc, wi = args
         s = jnp.einsum("bhnd,bhmd->bhnm", qc, kc) * scale + bias32
-        if mask is not None:
+        if region_ids is not None:
+            mw = region_ids[wi].astype(jnp.float32)  # [chunk, N]
+            diff = mw[:, None, :] - mw[:, :, None]
+            s = s + jnp.where(diff != 0.0, -100.0, 0.0)[:, None]
+        elif mask is not None:
             s = s + mask[wi][:, None]
         p = jax.nn.softmax(s, axis=-1)
         dv = jnp.einsum("bhnm,bhnd->bhmd", p, gc)
@@ -155,20 +235,25 @@ def _fused_attention_bwd(scale, interpret, res, g):
     dv = dv.reshape(-1, H, N, D)[:B]
     dbias = dbias_parts.sum(axis=0).astype(bias.dtype)
     dmask = None if mask is None else jnp.zeros_like(mask)
+    dmw = None if region_ids is None else jnp.zeros_like(region_ids)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias, dmask)
+            dbias, dmask, dmw)
 
 
 _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def window_attention_fused(q, k, v, bias, mask=None, *, scale: float,
-                           interpret: bool = False):
+def window_attention_fused(q, k, v, bias, mask=None, region_ids=None, *,
+                           scale: float, interpret: bool = False):
     """q, k, v: [B, H, N, D] (B = batch·num_windows); bias: [H, N, N];
-    mask: [nW, N, N] or None (B % nW == 0). Returns [B, H, N, D].
+    mask: [nW, N, N] or None; region_ids: [nW, N] shift-region ids
+    (mutually exclusive with mask — the additive -100 mask is then
+    synthesized in-kernel, models.swinunetr.mask_from_region_ids
+    semantics). B % nW == 0. Returns [B, H, N, D].
     Differentiable: fused Pallas forward + XLA recompute backward."""
-    return _fused_attention(q, k, v, bias, mask, scale, interpret)
+    assert mask is None or region_ids is None
+    return _fused_attention(q, k, v, bias, mask, region_ids, scale, interpret)
 
 
 def window_attention_reference(q, k, v, bias, mask=None, *, scale: float):

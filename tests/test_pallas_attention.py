@@ -58,3 +58,48 @@ def test_fused_gradients_match_reference():
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_region_id_path_matches_dense_mask():
+    """region_ids kernel variant (mask synthesized in-kernel) must equal
+    the dense-mask reference, including flag-scaled (zeroed) ids."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from icl_tpu.ops.pallas.window_attention import (
+        window_attention_fused, window_attention_reference)
+
+    B, H, N, D, nW = 8, 2, 16, 8, 4
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(H, N, N)), jnp.float32)
+    mw = jnp.asarray(rng.integers(0, 3, size=(nW, N)), jnp.float32)
+    dense = jnp.where((mw[:, None, :] - mw[:, :, None]) != 0, -100.0, 0.0)
+    scale = D ** -0.5
+
+    want = window_attention_reference(q, k, v, bias, dense, scale=scale)
+    got = window_attention_fused(q, k, v, bias, None, mw, scale=scale,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    # flag=0 (ids zeroed) == unmasked
+    want0 = window_attention_reference(q, k, v, bias, None, scale=scale)
+    got0 = window_attention_fused(q, k, v, bias, None, jnp.zeros_like(mw),
+                                  scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
+                               atol=2e-5, rtol=1e-5)
+
+    # gradients flow through the region path (bwd synthesizes per-chunk)
+    def loss(q):
+        return window_attention_fused(q, k, v, bias, None, mw, scale=scale,
+                                      interpret=True).sum()
+
+    g = jax.grad(loss)(q)
+    def loss_ref(q):
+        return window_attention_reference(q, k, v, bias, dense, scale=scale).sum()
+    g_ref = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=2e-4, rtol=1e-4)

@@ -71,3 +71,18 @@ def test_rolling_checkpoints_prune_to_keep_last_n(tmp_path):
         np.asarray(jax.device_get(restored.params["decoder"]["out_conv"]["Conv_0"]["kernel"])),
         np.asarray(jax.device_get(state.params["decoder"]["out_conv"]["Conv_0"]["kernel"])),
     )
+
+
+def test_async_orbax_saver_roundtrip(tmp_path):
+    import numpy as np
+
+    from icl_tpu.utils import checkpoint as ck
+
+    tree = {"params": {"w": np.arange(6.0).reshape(2, 3)},
+            "step": np.array(7, np.int32)}
+    with ck.AsyncStateSaver() as saver:
+        saver.save(str(tmp_path), tree, name="t")  # returns immediately
+        saver.wait()
+    back = ck.load_train_state_orbax(str(tmp_path), tree, name="t")
+    np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
+    assert int(back["step"]) == 7
