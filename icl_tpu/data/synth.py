@@ -93,6 +93,9 @@ def make_synthetic_brats(
     n_train = max(1, num_cases - 2)
     with open(os.path.join(root, "train.txt"), "w") as f:
         f.write("\n".join(ids[:n_train]) + "\n")
-    with open(os.path.join(root, "val.txt"), "w") as f:
-        f.write("\n".join(ids[n_train:]) + "\n")
+    # the reference ships both val.txt and val_test.txt manifests
+    # (data/BraTS2019/, val_3D.py / test_3D_BraTS.py read val_test.txt)
+    for name in ("val.txt", "val_test.txt"):
+        with open(os.path.join(root, name), "w") as f:
+            f.write("\n".join(ids[n_train:]) + "\n")
     return root

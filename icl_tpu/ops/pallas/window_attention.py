@@ -79,22 +79,24 @@ def _kernel_region(q_ref, k_ref, v_ref, bias_ref, mw_ref, out_ref, *, scale):
     ).astype(out_ref.dtype)
 
 
-def _pick_window_block(B: int, nW: int, N: int, masked: bool = True,
-                       tile_nw: bool | None = None) -> int:
+def _pick_window_block(B: int, nW: int, N: int, mode: str = "dense") -> int:
     """Windows per grid step. Batching windows amortizes grid/DMA
     overhead around the tiny per-window matmuls (N×D with D=head_dim 16
     — K is 12.5% of the MXU anyway; the win is pipelining; measured
-    1.7× vs Wb=1 on 3D stage-1 shapes). Constraint: divide B (and nW
-    when a mask/region block tiles with the windows), and keep the
-    [Wb, N, N] f32 scores (+ mask block when masked) within budget."""
-    # Mosaic's scoped-VMEM ceiling is 16MB and it holds roughly 2.5×
-    # [Wb,N,N] f32 temps (scores/exp/prob) plus double-buffered blocks —
-    # measured: masked Wb=7 at N=343 → 16.46M (OOM), unmasked Wb=14 →
-    # 18.81M (OOM). A 5MB budget on the score block keeps both legal.
-    budget = 5 << 20
-    per_wb = N * N * 4 * (2 if masked else 1)
-    if tile_nw is None:
-        tile_nw = masked
+    1.7-2.1× vs Wb=1 on 3D stage-1 shapes). Constraint: divide B (and
+    nW when a mask/region block tiles with the windows) and respect
+    Mosaic's 16MB scoped-VMEM ceiling, calibrated per mode from on-chip
+    compiles at N=343:
+      dense  (mask block DMA'd):      Wb=7 → 16.46M OOM   → budget 5M/2N²
+      region (mask diff synthesized): Wb=7 → fits, 8 → 16.60M OOM → 7M/2N²
+      none:                           Wb=14 → 18.81M OOM, 7 fits → 5M/N²
+    """
+    per_n2 = N * N * 4
+    budget, per_wb, tile_nw = {
+        "dense": (5 << 20, 2 * per_n2, True),
+        "region": (7 << 20, 2 * per_n2, True),
+        "none": (5 << 20, per_n2, False),
+    }[mode]
     for wb in (32, 28, 16, 14, 8, 7, 4, 2):
         if B % wb or (tile_nw and nW % wb):
             continue
@@ -112,10 +114,9 @@ def _fused_forward(q, k, v, bias, mask, region_ids, scale: float,
         nW = region_ids.shape[0]
     else:
         nW = B
-    Wb = _pick_window_block(
-        B, nW, N, masked=mask is not None,
-        tile_nw=(mask is not None) or (region_ids is not None),
-    )
+    mode = ("dense" if mask is not None
+            else "region" if region_ids is not None else "none")
+    Wb = _pick_window_block(B, nW, N, mode)
     grid = (B // Wb, H)
     qkv_spec = pl.BlockSpec((Wb, 1, N, D), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)

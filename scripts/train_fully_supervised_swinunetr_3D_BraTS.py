@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--val_interval", type=int, default=200)
     p.add_argument("--use_ssl_pretrained", type=int, default=1)
+    p.add_argument("--precision", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 (default): fast MXU passes; float32 "
+                        "parity mode needs >16G HBM at the 96^3 bs4 config")
     p.add_argument("--ssl_ckpt", type=str, default="../pretrained_models/model_swinvit.pt")
     return p.parse_args()
 
@@ -50,6 +54,7 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
         remat=True,  # keep 3D Swin activations within HBM
+        precision=args.precision,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train", num=cfg.labeled_num)
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")
