@@ -99,3 +99,47 @@ def make_synthetic_brats(
         with open(os.path.join(root, name), "w") as f:
             f.write("\n".join(ids[n_train:]) + "\n")
     return root
+
+
+def make_synthetic_amos(
+    root: str,
+    num_cases: int = 4,
+    shape=(96, 96, 72),
+    spacing=(2.0, 2.0, 3.0),
+    num_classes: int = 16,
+    seed: int = 0,
+) -> str:
+    """Tiny Decathlon-style AMOS22 tree (.nii.gz CT volumes + labels +
+    dataset_semi_ct.json). Source spacing (2,2,3) resamples to
+    ~(127,127,107) voxels at the protocol's (1.5,1.5,2.0) — large enough
+    for 96³ crops. Returns the JSON path."""
+    import json
+
+    from icl_tpu.data.nifti import save_nifti
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "imagesTr")
+    lab_dir = os.path.join(root, "labelsTr")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lab_dir, exist_ok=True)
+    affine = np.diag([spacing[0], spacing[1], spacing[2], 1.0])
+    training = []
+    for i in range(num_cases):
+        img = rng.normal(60.0, 50.0, size=shape).astype(np.float32)
+        lab = np.zeros(shape, np.uint8)
+        for organ in range(1, min(num_classes, 6)):
+            cz, cy, cx = rng.integers(12, np.asarray(shape) - 12)
+            r = int(rng.integers(4, 10))
+            zz, yy, xx = np.mgrid[: shape[0], : shape[1], : shape[2]]
+            mask = (zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2 < r**2
+            lab[mask] = organ
+            img[mask] += 120.0
+        save_nifti(os.path.join(img_dir, f"amos_{i:04d}.nii.gz"), img, affine)
+        save_nifti(os.path.join(lab_dir, f"amos_{i:04d}.nii.gz"), lab, affine)
+        training.append({"image": f"imagesTr/amos_{i:04d}.nii.gz",
+                         "label": f"labelsTr/amos_{i:04d}.nii.gz"})
+    spec = {"training": training[:-1], "validation": training[-1:]}
+    jpath = os.path.join(root, "dataset_semi_ct.json")
+    with open(jpath, "w") as f:
+        json.dump(spec, f)
+    return jpath

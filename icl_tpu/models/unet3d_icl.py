@@ -43,20 +43,14 @@ class UNet3DICL(nn.Module):
             final_lab, _ = self.backbone(x_lab, train=train)
             return final_lab
 
-        # One batched pass over [labeled; unlabeled] replaces the
-        # reference's encoder re-run per branch (unet_3D_icl.py:99-148):
-        # numerically identical because unet_3D normalizes per-sample
-        # only (InstanceNorm; dropout is per-element) — no BatchNorm
-        # coupling, unlike the 2D UNet family.
-        import jax.numpy as jnp
-
-        B_lab = x_lab.shape[0]
-        final, feats = self.backbone(
-            jnp.concatenate([x_lab, x_unlab], axis=0), train=train
-        )
-        final_lab, final_unlab = final[:B_lab], final[B_lab:]
-        feats_lab = [f[:B_lab] for f in feats]
-        feats_unlab = [f[B_lab:] for f in feats]
+        # Two sequential shared-weight passes, like the reference
+        # (unet_3D_icl.py:99-148). A single concatenated pass would be
+        # numerically identical (InstanceNorm is per-sample; no
+        # BatchNorm coupling) but doubles the full-resolution decoder
+        # temps: at the fp32 16-class AMOS config the fused step needs
+        # 19.1G of the 15.75G HBM (up_concat1 activations at bs4).
+        final_lab, feats_lab = self.backbone(x_lab, train=train)
+        final_unlab, feats_unlab = self.backbone(x_unlab, train=train)
 
         feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
         feat_maps_consis, _ = self.sspa(feats_unlab, modal="labeled", train=train)

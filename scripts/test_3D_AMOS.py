@@ -57,6 +57,12 @@ def main():
     eval_vars = load_eval_variables(model, ckpt_path, jnp.zeros((1, d, d, d, 1)))
 
     val_files = load_decathlon_datalist(args.split_path, "validation")[args.val_num:]
+    if not val_files:
+        raise SystemExit(
+            f"empty test split: validation[{args.val_num}:] has no cases "
+            "(the reference evaluates validation[val_num:], "
+            "test_3D_AMOS.py:153 — lower --val_num)"
+        )
     db = AMOSDataset(val_files, val_mode=True)
     scores_fn = make_patch_predictor(
         model, cfg.patch_size, sw_batch=4, apply_softmax=False, dtype="bfloat16"

@@ -48,6 +48,15 @@ def parse_args():
     p.add_argument("--val_num", type=int, default=30)
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--labeled_bs", type=int, default=2)
+    p.add_argument("--precision", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 (default): fast MXU passes (the "
+                        "reference trains fp32 but evaluates under AMP; "
+                        "our float32 parity mode emulates f32 matmuls "
+                        "with multi-pass bf16 and its temps push the "
+                        "16-class 96^3 bs4 step past 16G HBM)")
+    p.add_argument("--remat", type=int, default=1,
+                   help="rematerialize the forward in backprop")
     p.add_argument("--val_interval", type=int, default=1200)
     return p.parse_args()
 
@@ -63,6 +72,7 @@ def main():
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
         consis_weight=10.0, pse_weight=0.1,  # AMOS weighting (:230)
+        precision=args.precision, remat=bool(args.remat),
     )
     datalist = load_decathlon_datalist(args.split_path, "training")
     val_files = load_decathlon_datalist(args.split_path, "validation")[: args.val_num]
