@@ -71,6 +71,10 @@ class ExperimentConfig:
     # Extra kwargs forwarded to net_factory (e.g. feature_size /
     # window_size for the SwinUNETR family).
     model_kwargs: dict = dataclasses.field(default_factory=dict)
+    # Persistent XLA compile cache (big QoL on repeat CLI runs: the 3D
+    # Swin step costs ~100s to compile cold, the 1.1B-param 2D ICL init
+    # several minutes). "" disables.
+    compile_cache_dir: str = "~/.cache/icl_tpu_jax"
 
     @property
     def snapshot_path(self) -> str:

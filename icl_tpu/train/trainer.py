@@ -29,6 +29,15 @@ class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        if cfg.compile_cache_dir and jax.config.jax_compilation_cache_dir is None:
+            # don't override a cache the caller (tests, bench) set up
+            import os
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser(cfg.compile_cache_dir),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         self.is_icl = cfg.model.startswith("icl_") or cfg.model.endswith("_icl")
         model_kwargs = dict(cfg.model_kwargs)
         if self.is_icl:
