@@ -216,6 +216,48 @@ class CTAugment:
                 idx = int(b * len(rate) * 0.999)
                 rate[idx] = rate[idx] * self.decay + proximity * (1 - self.decay)
 
+    # -- persistence (reference StorableCTAugment.state_dict /
+    # load_state_dict, augmentations/__init__.py:7-17): the learned
+    # per-op rate vectors survive a training resume. --
+    def state_dict(self) -> dict:
+        from collections import OrderedDict
+
+        return OrderedDict(
+            (k, getattr(self, k)) for k in ("decay", "depth", "th", "rates")
+        )
+
+    def load_state_dict(self, state: dict) -> None:
+        for k in ("decay", "depth", "th", "rates"):
+            assert k in state, f"{k} not in {list(state.keys())}"
+            setattr(self, k, state[k])
+
+    def save(self, path: str) -> None:
+        """JSON-serialize the learner state (rates as nested lists)."""
+        import json
+        import os
+
+        sd = self.state_dict()
+        sd["rates"] = {
+            k: [np.asarray(r).tolist() for r in bins]
+            for k, bins in sd["rates"].items()
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sd, f)
+        os.replace(tmp, path)
+
+    def restore(self, path: str) -> None:
+        import json
+
+        with open(path) as f:
+            sd = json.load(f)
+        sd["rates"] = {
+            k: tuple(np.asarray(r, np.float32) for r in bins)
+            for k, bins in sd["rates"].items()
+        }
+        self.load_state_dict(sd)
+
     def stats(self) -> str:
         return "\n".join(
             "%-16s    %s" % (

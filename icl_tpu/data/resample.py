@@ -8,9 +8,10 @@ torch `grid_sample` under the hood: `Spacing` → `SpatialResample` →
 protocol-identical but not voxel-identical (VERDICT r1, missing #1 /
 item 4). This module reproduces the MONAI pipeline exactly:
 
-  1. `zoom_affine`      — rescale the affine's direction columns to the
-                          target pixdim, keeping direction (monai.data.
-                          utils.zoom_affine, diagonal=False).
+  1. `zoom_affine`      — Cholesky factorization of the affine's
+                          rotation-zoom-shear block: orthonormal rotation
+                          kept, zooms replaced by pixdim, shear dropped
+                          (monai.data.utils.zoom_affine, diagonal=False).
   2. `compute_shape_offset` — output shape = round(ptp(corners)+1) over
                           the 8 input-corner voxels mapped through
                           inv(new_affine) @ old_affine; offset anchors
@@ -23,7 +24,12 @@ item 4). This module reproduces the MONAI pipeline exactly:
                           'nearest' = round-half-even (torch nearbyint).
 
 Verified bit-for-bit against a torch `grid_sample` oracle on random
-volumes and oblique affines (tests/test_resample.py).
+volumes and oblique affines (tests/test_resample.py). Oracle scope note:
+the torch oracle covers step 3 (the resampling itself); steps 1–2 are
+transcribed from MONAI 1.0.1 `monai/data/utils.py` and covered by
+property tests (shear-free column rescale equivalence, shear-dropping,
+corner-anchoring) rather than by executing real MONAI, which is not in
+this image.
 """
 from __future__ import annotations
 
@@ -33,17 +39,29 @@ import numpy as np
 
 
 def zoom_affine(affine: np.ndarray, pixdim, diagonal: bool = False) -> np.ndarray:
-    """Rescale the direction columns of `affine` to norms `pixdim`
-    (monai.data.utils.zoom_affine, diagonal=False: direction preserved,
-    translation zeroed — Spacing re-anchors it from the offset)."""
-    affine = np.asarray(affine, np.float64)
-    sr = len(pixdim)
-    d = affine[:sr, :sr]
-    norms = np.sqrt((d * d).sum(axis=0))
-    norms = np.where(norms == 0, 1.0, norms)
-    new_d = d / norms * np.asarray(pixdim, np.float64)
-    out = np.eye(affine.shape[0])
-    out[:sr, :sr] = new_d
+    """monai.data.utils.zoom_affine (MONAI 1.0.1), diagonal=False: QR-
+    style Cholesky factorization rzs = rotation @ zs — the orthonormal
+    `rotation` keeps direction, `zs`'s diagonal signs keep axis
+    orientation, and the new zooms replace |diag(zs)|. For shear-free
+    affines this equals rescaling the columns to the target norms; for
+    sheared affines the Cholesky construction additionally DROPS the
+    shear (upper-triangular part of zs), exactly as MONAI does.
+    Translation is zeroed — Spacing re-anchors it from the offset."""
+    affine = np.array(np.asarray(affine, np.float64), copy=True)
+    d = len(affine) - 1
+    pixdim = np.asarray(pixdim, np.float64)[:d]
+    if len(pixdim) < d:
+        norms = np.sqrt((affine[:-1, :-1] ** 2).sum(axis=0))[: d]
+        pixdim = np.append(pixdim, norms[len(pixdim):])
+    pixdim = np.where(pixdim == 0, 1.0, pixdim)
+    if diagonal:
+        return np.diag(np.append(pixdim, [1.0]))
+    rzs = affine[:-1, :-1]
+    zs = np.linalg.cholesky(rzs.T @ rzs).T
+    rotation = rzs @ np.linalg.inv(zs)
+    s = np.sign(np.diag(zs)) * np.abs(pixdim)
+    out = np.eye(len(affine))
+    out[:-1, :-1] = rotation @ np.diag(s)
     return out
 
 

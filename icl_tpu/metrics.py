@@ -111,6 +111,27 @@ def jaccard_binary(pred: np.ndarray, gt: np.ndarray) -> float:
     return np.count_nonzero(pred & gt) / union
 
 
+def evaluate_seg(pred: np.ndarray, gt: np.ndarray) -> tuple[float, float, float]:
+    """(MAE, Dice, IoU) for soft binary maps, thresholded at 0.5 — the
+    reference's `evaluate_seg` helper (val_2D.py:57-86; dead code there,
+    ported for §2 completeness). Keeps the reference's TP-floor quirk:
+    TP == 0 is replaced by 1 before the ratios, so an all-negative
+    prediction on a positive gt still yields nonzero Dice/IoU."""
+    pred_b = (np.asarray(pred, np.float64) >= 0.5).astype(np.float64)
+    gt_b = (np.asarray(gt, np.float64) >= 0.5).astype(np.float64)
+    mae = float(np.abs(pred_b - gt_b).mean())
+    tp = float((pred_b * gt_b).sum())
+    fp = float((pred_b * (1.0 - gt_b)).sum())
+    fn = float(((1.0 - pred_b) * gt_b).sum())
+    if tp == 0.0:
+        tp = 1.0
+    recall = tp / (tp + fn)
+    precision = tp / (tp + fp)
+    dice = 2.0 * precision * recall / (precision + recall)
+    iou = tp / (tp + fp + fn)
+    return mae, dice, iou
+
+
 def aggregate_case_metrics(metric_cal: list[list[tuple[float, float]]]):
     """Aggregate per-case (dice, hd95) lists per class the reference way
     (train_inherent_consistent_unet_2D.py:158-170): per-class mean/std

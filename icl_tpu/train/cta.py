@@ -10,9 +10,12 @@ updates the op rates from probe proximity — the CTAugment control loop
 (rate[idx] = decay·rate + (1−decay)·proximity, ctaugment.py reference
 :95-103).
 
-Probe proximity for segmentation: 1 − ½·mean|softmax(probe logits) −
-one_hot(probe label)| over pixels and classes (the FixMatch formula with
-the per-pixel label distribution as the target).
+Probe proximity for segmentation: 1 − ½·mean_pixels Σ_classes
+|softmax(probe logits) − one_hot(probe label)| — the FixMatch weight
+formula (google-research/fixmatch cta_remixmatch.py: 1 − ½·Σ|p−y|)
+applied per pixel, then averaged over pixels/batch. The class-axis SUM
+(not mean) keeps the error term in [0, 2] regardless of num_classes, so
+the 0.85 sampling threshold behaves as in FixMatch.
 """
 from __future__ import annotations
 
@@ -67,7 +70,10 @@ class CTATrainer:
         onehot = jax.nn.one_hot(
             jnp.asarray(probe_label), probs.shape[-1], dtype=probs.dtype
         )
-        return float(1.0 - 0.5 * jnp.mean(jnp.abs(probs - onehot)))
+        # class-axis L1 sum per pixel (FixMatch formula; the sum is ≤ 2,
+        # so proximity stays in [0, 1]), then pixel mean
+        per_pixel = jnp.sum(jnp.abs(probs - onehot), axis=-1)
+        return float(1.0 - 0.5 * jnp.mean(per_pixel))
 
     def fit(
         self,
@@ -75,10 +81,22 @@ class CTATrainer:
         batches: Iterator[dict],
         cta: CTAugment,
         max_steps: Optional[int] = None,
+        snapshot_path: Optional[str] = None,
     ) -> TrainState:
         """Run the CTA control loop: train step on policy-augmented
-        batches, then update op rates from the batch's probe."""
+        batches, then update op rates from the batch's probe.
+
+        With `snapshot_path` set and cfg.checkpoint_interval > 0, the
+        learned CTA rates are persisted as `{snapshot}/model/
+        cta_state.json` next to the rolling TrainState checkpoint, so a
+        resumed run keeps its policy (reference StorableCTAugment
+        semantics, augmentations/__init__.py:7-17)."""
+        import os
+
+        from icl_tpu.utils import checkpoint as ckpt
+
         steps = max_steps or self.cfg.max_iterations
+        interval = getattr(self.cfg, "checkpoint_interval", 0)
         rng = jax.random.PRNGKey(self.cfg.seed)
         for it, batch in enumerate(batches):
             if it >= steps:
@@ -98,4 +116,24 @@ class CTATrainer:
             proximity = self.probe_proximity(state, probe_image, probe_label)
             cta.update_rates(policy, proximity)
             jax.block_until_ready(metrics["loss"])
+            if snapshot_path and interval and (it + 1) % interval == 0:
+                ckpt.save_train_state_rolling(
+                    snapshot_path, state, it + 1,
+                    keep=getattr(self.cfg, "keep_checkpoints", 3),
+                )
+                cta.save(os.path.join(snapshot_path, "model", "cta_state.json"))
+        if snapshot_path and interval:
+            cta.save(os.path.join(snapshot_path, "model", "cta_state.json"))
         return state
+
+    @staticmethod
+    def restore_cta(snapshot_path: str, cta: CTAugment) -> bool:
+        """Restore persisted CTA rates into `cta` if a saved policy
+        exists; returns whether one was found."""
+        import os
+
+        path = os.path.join(snapshot_path, "model", "cta_state.json")
+        if os.path.exists(path):
+            cta.restore(path)
+            return True
+        return False

@@ -128,8 +128,11 @@ def save_train_state_rolling(snapshot_path: str, state, step: int,
     """Periodic resumable checkpoint with keep-last-N pruning: saves
     `state_step_{step:08d}.msgpack`, points `state_last.msgpack` at the
     same bytes (hardlink when possible), and deletes older step files
-    beyond `keep`. Capability addition over the reference (whose
-    periodic save is commented out, train_…unet_2D.py:214-218)."""
+    beyond `keep`. `keep=0` keeps every step checkpoint (no pruning);
+    negative values are rejected. Capability addition over the reference
+    (whose periodic save is commented out, train_…unet_2D.py:214-218)."""
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
     model_dir = os.path.join(snapshot_path, "model")
     path = os.path.join(model_dir, f"state_step_{step:08d}.msgpack")
     save_pytree(path, jax.device_get(state))
@@ -142,8 +145,9 @@ def save_train_state_rolling(snapshot_path: str, state, step: int,
         import shutil
 
         shutil.copyfile(path, last)
-    for old in list_step_checkpoints(snapshot_path)[:-keep]:
-        os.remove(old)
+    if keep > 0:
+        for old in list_step_checkpoints(snapshot_path)[:-keep]:
+            os.remove(old)
     return path
 
 

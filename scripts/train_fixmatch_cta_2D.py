@@ -40,6 +40,11 @@ def parse_args():
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--conf_thresh", type=float, default=0.95)
     p.add_argument("--unsup_weight", type=float, default=1.0)
+    p.add_argument("--checkpoint_interval", type=int, default=0,
+                   help="periodic TrainState + CTA-policy checkpoint")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest rolling checkpoint and the "
+                        "persisted CTA rates before training")
     return p.parse_args()
 
 
@@ -51,6 +56,7 @@ def main():
         batch_size=args.batch_size, labeled_bs=args.labeled_bs,
         base_lr=args.base_lr, patch_size=tuple(args.patch_size),
         labeled_num=args.labeled_num, seed=args.seed, num_tries=args.num_tries,
+        checkpoint_interval=args.checkpoint_interval,
     )
     labeled_count = patients_to_slices(args.root_path, args.labeled_num)
     dataset = ACDCDataset(args.root_path, "train")
@@ -60,9 +66,17 @@ def main():
     trainer = CTATrainer(cfg, conf_thresh=args.conf_thresh,
                          unsup_weight=args.unsup_weight)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    if args.resume:
+        from icl_tpu.utils import checkpoint as ckpt
+
+        if ckpt.latest_checkpoint_step(cfg.snapshot_path) >= 0:
+            state = ckpt.load_train_state(cfg.snapshot_path, state, name="last")
+        if CTATrainer.restore_cta(cfg.snapshot_path, cta):
+            print("Restored persisted CTA rates")
     batches = cta_batches(dataset, labeled_count, cfg.batch_size,
                           cfg.labeled_bs, cfg.patch_size, cta, seed=cfg.seed)
-    trainer.fit(state, batches, cta, max_steps=cfg.max_iterations)
+    trainer.fit(state, batches, cta, max_steps=cfg.max_iterations,
+                snapshot_path=cfg.snapshot_path if args.checkpoint_interval else None)
     print("Learned CTA rates:\n" + cta.stats())
     print("Training Finished!")
 

@@ -66,3 +66,57 @@ def test_cta_training_moves_rates(synth_root, tmp_path):
     assert moved >= 10, f"only {moved} rate bins moved after 10 probes"
     # stats() renders without error (the reference's printed diagnostics)
     assert isinstance(cta.stats(), str)
+
+
+def test_cta_state_roundtrip(tmp_path):
+    """StorableCTAugment parity (augmentations/__init__.py:7-17): the
+    learned rates survive state_dict/load_state_dict AND a JSON file
+    round-trip, so a resumed CTA run keeps its policy."""
+    cta = CTAugment(seed=3)
+    # perturb some rates as training would
+    for _ in range(5):
+        policy = cta.policy(probe=True, weak=False)
+        cta.update_rates(policy, proximity=0.25)
+    sd = cta.state_dict()
+    assert list(sd.keys()) == ["decay", "depth", "th", "rates"]
+
+    fresh = CTAugment(seed=0)
+    fresh.load_state_dict(sd)
+    np.testing.assert_array_equal(_flat_rates(fresh), _flat_rates(cta))
+
+    path = str(tmp_path / "model" / "cta_state.json")
+    cta.save(path)
+    restored = CTAugment(seed=0)
+    restored.restore(path)
+    assert restored.decay == cta.decay and restored.th == cta.th
+    assert restored.depth == cta.depth
+    np.testing.assert_allclose(_flat_rates(restored), _flat_rates(cta),
+                               atol=1e-7)
+    # restored learner keeps learning (types intact after JSON round-trip)
+    pol = restored.policy(probe=True, weak=True)
+    restored.update_rates(pol, proximity=0.5)
+
+
+def test_probe_proximity_class_sum(synth_root, tmp_path):
+    """FixMatch weight formula: proximity = 1 - 0.5*mean_pixels
+    sum_classes |p - y| — invariant to num_classes padding (ADVICE r2:
+    a class-MEAN would shrink the error term by num_classes)."""
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=10, base_lr=0.01,
+        experiments_dir=str(tmp_path), exp="cta_prox", labeled_num=3,
+    )
+    tr = CTATrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    img = np.random.default_rng(0).normal(size=(1, 16, 16, 1)).astype(np.float32)
+    lab = np.zeros((1, 16, 16), np.int32)
+    prox = tr.probe_proximity(state, img, lab)
+    # independent recomputation with the class-axis SUM
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    probs = np.asarray(tr._probe_probs(variables, jnp.asarray(img)))
+    onehot = np.eye(probs.shape[-1], dtype=np.float64)[lab]
+    want = 1.0 - 0.5 * np.abs(probs - onehot).sum(-1).mean()
+    assert abs(prox - want) < 1e-5
+    assert 0.0 <= prox <= 1.0

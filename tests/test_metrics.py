@@ -48,3 +48,29 @@ def test_aggregate():
     agg = metrics.aggregate_case_metrics(per_class)
     assert abs(agg["mean_dice"] - ((0.75 + 0.7) / 2)) < 1e-12
     assert abs(agg["mean_hd95"] - ((5.0 + 3.0) / 2)) < 1e-12
+
+
+def test_evaluate_seg_reference_formula():
+    """Ported evaluate_seg (val_2D.py:57-86, dead in the reference):
+    MAE / F1-Dice / IoU on thresholded soft maps, including the TP-floor
+    quirk (TP==0 -> 1)."""
+    from icl_tpu.metrics import evaluate_seg
+
+    pred = np.zeros((8, 8), np.float32)
+    gt = np.zeros((8, 8), np.float32)
+    pred[:4, :4] = 0.9   # 16 positive
+    gt[:4, :6] = 1.0     # 24 positive, overlap 16
+    mae, dice, iou = evaluate_seg(pred, gt)
+    tp, fp, fn = 16.0, 0.0, 8.0
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    assert abs(mae - 8.0 / 64.0) < 1e-12
+    assert abs(dice - 2 * prec * rec / (prec + rec)) < 1e-12
+    assert abs(iou - tp / (tp + fp + fn)) < 1e-12
+
+    # TP == 0 floor: reference substitutes TP=1 before the ratios
+    pred0 = np.zeros((4, 4), np.float32)
+    gt1 = np.ones((4, 4), np.float32)
+    mae, dice, iou = evaluate_seg(pred0, gt1)
+    assert abs(mae - 1.0) < 1e-12
+    assert abs(dice - 2 * (1 / 1) * (1 / 17) / (1 / 1 + 1 / 17)) < 1e-12
+    assert abs(iou - 1.0 / 17.0) < 1e-12

@@ -104,3 +104,57 @@ def test_monai_spacing_resample_end_to_end():
     oracle = torch_grid_sample_oracle(vol, affine, aff_img, img_out.shape,
                                       "bilinear")
     np.testing.assert_allclose(img_out, oracle.astype(np.float32), atol=1e-6)
+
+
+def _shear_affine():
+    a = _diag_affine((0.8, 0.7, 3.0), origin=(1.0, 2.0, 3.0))
+    shear = np.eye(4)
+    shear[0, 1] = 0.15  # voxel axis 1 leans into world x
+    shear[1, 2] = -0.1
+    return a @ shear
+
+
+def test_zoom_affine_shear_free_equals_column_rescale():
+    """For shear-free affines the Cholesky construction reduces to
+    rescaling each direction column to the target norm."""
+    affine = _oblique_affine()
+    pixdim = (1.5, 1.5, 2.0)
+    got = rs.zoom_affine(affine, pixdim)
+    d = affine[:3, :3]
+    norms = np.sqrt((d * d).sum(axis=0))
+    want = np.eye(4)
+    want[:3, :3] = d / norms * np.asarray(pixdim)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_zoom_affine_drops_shear_keeps_norms_and_signs():
+    """MONAI zoom_affine (diagonal=False) Cholesky semantics on a
+    SHEARED affine: output directions are orthogonal (shear dropped),
+    column norms equal pixdim, and axis orientation signs survive."""
+    affine = _shear_affine()
+    affine[:3, 2] *= -1.0  # flip one axis (e.g. LPS-style scan)
+    pixdim = (1.5, 1.5, 2.0)
+    got = rs.zoom_affine(affine, pixdim)
+    d = got[:3, :3]
+    gram = d.T @ d
+    np.testing.assert_allclose(gram, np.diag(np.asarray(pixdim) ** 2), atol=1e-10)
+    np.testing.assert_allclose(np.sqrt(np.diag(gram)), pixdim, atol=1e-10)
+    # orientation: each new column must point the same general way as the
+    # rotation factor of the original (positive dot with the original
+    # column for the unflipped axes; the flip itself is encoded in the
+    # sign of the Cholesky diagonal, matching nibabel/MONAI)
+    rzs = affine[:3, :3]
+    zs = np.linalg.cholesky(rzs.T @ rzs).T
+    want = (rzs @ np.linalg.inv(zs)) @ np.diag(np.sign(np.diag(zs)) * np.asarray(pixdim))
+    np.testing.assert_allclose(d, want, atol=1e-12)
+    assert got[3, 3] == 1.0 and np.all(got[:3, 3] == 0.0)
+
+
+def test_zoom_affine_short_pixdim_fills_from_affine():
+    """pixdim shorter than the spatial rank keeps the remaining axes'
+    original spacing (MONAI: np.append(scale, norm[len(scale):]))."""
+    affine = _diag_affine((0.8, 0.7, 3.0))
+    got = rs.zoom_affine(affine, (1.5, 1.5))
+    np.testing.assert_allclose(
+        np.sqrt((got[:3, :3] ** 2).sum(axis=0)), (1.5, 1.5, 3.0), atol=1e-12
+    )

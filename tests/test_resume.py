@@ -86,3 +86,20 @@ def test_async_orbax_saver_roundtrip(tmp_path):
     back = ck.load_train_state_orbax(str(tmp_path), tree, name="t")
     np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
     assert int(back["step"]) == 7
+
+
+def test_rolling_checkpoints_keep_zero_keeps_everything(tmp_path):
+    """keep=0 is defined as no pruning (ADVICE r2: the old [:-0] slice
+    silently kept everything; now it's the documented behavior), and
+    negative keep is rejected."""
+    import pytest
+
+    from icl_tpu.utils import checkpoint as ckpt
+
+    snap = str(tmp_path / "snap")
+    state = {"w": np.arange(4, dtype=np.float32)}
+    for step in (10, 20, 30, 40):
+        ckpt.save_train_state_rolling(snap, state, step, keep=0)
+    assert len(ckpt.list_step_checkpoints(snap)) == 4
+    with pytest.raises(ValueError):
+        ckpt.save_train_state_rolling(snap, state, 50, keep=-1)
