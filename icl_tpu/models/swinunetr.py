@@ -127,7 +127,18 @@ class WindowAttention3D(nn.Module):
         ([nW, N], mutually exclusive) are shift-region ids from which
         the mask is derived (mask_from_region_ids) — on the Pallas path
         the derivation happens in-kernel, so the dense cube never exists
-        in HBM."""
+        in HBM.
+
+        `window_size` is the CONFIGURED window (7³), not the per-stage
+        effective one: the reference constructs every stage's attention
+        with the full window — the bias table stays (2·7−1)³ = 2197 rows
+        in every stage and small stages slice
+        `relative_position_index[:n, :n]` of the 7³-ordering index
+        (swinunetr.py:422-424,480-482), NOT the index of the shrunk
+        window. Verified against the real reference module in
+        tests/test_reference_parity.py (round-3 fix: the shrunk-window
+        table both diverged numerically whenever a stage dim < 7 and
+        broke checkpoint interop shapes)."""
         B_, N, C = x.shape
         H = self.num_heads
         hd = C // H
@@ -201,6 +212,9 @@ class SwinBlock3DScanBody(nn.Module):
     num_heads: int
     window_size: Sequence[int]  # effective (shrunk) per-stage ws
     base_shift: Sequence[int]   # shrunk shift; roll skipped if all-zero
+    table_window: Sequence[int] = (7, 7, 7)  # configured ws: sizes the
+    # rel-pos bias table + index (reference keeps the full-window table
+    # in every stage and slices [:N, :N] — see WindowAttention3D)
     mlp_ratio: float = 4.0
     train: bool = False
 
@@ -229,9 +243,9 @@ class SwinBlock3DScanBody(nn.Module):
             rids = None
 
         windows = window_partition_3d(h, ws)
-        attn_windows = WindowAttention3D(C, ws, self.num_heads, name="attn")(
-            windows, region_ids=rids
-        )
+        attn_windows = WindowAttention3D(
+            C, self.table_window, self.num_heads, name="attn"
+        )(windows, region_ids=rids)
         h = window_reverse_3d(attn_windows, ws, (h.shape[0], dp_, hp_, wp_))
         if do_shift:
             h = jnp.roll(h, shift=tuple(shift_flag * s for s in ss), axis=(1, 2, 3))
@@ -296,7 +310,8 @@ class SwinStage3D(nn.Module):
             length=self.depth,
         )
         x, _ = Blocks(
-            self.dim, self.num_heads, ws, ss, self.mlp_ratio, train,
+            self.dim, self.num_heads, ws, ss, tuple(self.window_size),
+            self.mlp_ratio, train,
             name="blocks",
         )(x, scanned, jnp.asarray(region_ids))
         return x
@@ -332,9 +347,9 @@ class SwinBlock3D(nn.Module):
         mask = compute_mask_3d((dp_, hp_, wp_), ws, ss)
 
         windows = window_partition_3d(h, ws)
-        attn_windows = WindowAttention3D(C, ws, self.num_heads, name="attn")(
-            windows, mask=mask
-        )
+        attn_windows = WindowAttention3D(
+            C, self.window_size, self.num_heads, name="attn"
+        )(windows, mask=mask)
         h = window_reverse_3d(attn_windows, ws, (h.shape[0], dp_, hp_, wp_))
         if any(s > 0 for s in ss):
             h = jnp.roll(h, shift=ss, axis=(1, 2, 3))

@@ -180,11 +180,17 @@ def t2f_conv1d_as_dense(w: np.ndarray) -> np.ndarray:
     return w[:, :, 0].T
 
 
-def icl_head_key_table(torch_prefix: str, flax_root: tuple, num_scales: int = 3):
+def icl_head_key_table(torch_prefix: str, flax_root: tuple, num_scales: int = 3,
+                       tokenized: bool = False):
     """torch key -> (flax path, transform) for one `InherentConsistent`
     head (reference unet_icl.py:254-338 / unet_3D_icl.py:155-242; the
     torch key layout is identical for 2D and 3D — only conv ranks differ,
-    which t2f_conv handles rank-generically)."""
+    which t2f_conv handles rank-generically).
+
+    `tokenized=True` is the Swin 2D variant (vision_transformer.py:
+    193-290): the torch module still CREATES proj_layers/norm_layers but
+    never calls them (:245-247 commented out), and the flax side omits
+    the params entirely — so their keys are skipped here."""
     table = []
     p = torch_prefix
 
@@ -207,11 +213,12 @@ def icl_head_key_table(torch_prefix: str, flax_root: tuple, num_scales: int = 3)
 
     table.append((f"{p}.guided_Q", flax_root + ("guided_Q",), None))
     for i in range(num_scales):
-        table.append((f"{p}.proj_layers.{i}.weight",
-                      flax_root + (f"proj{i}", "Conv_0", "kernel"), t2f_conv))
-        table.append((f"{p}.proj_layers.{i}.bias",
-                      flax_root + (f"proj{i}", "Conv_0", "bias"), None))
-        lnorm(f"{p}.norm_layers.{i}", flax_root + (f"norm{i}",))
+        if not tokenized:
+            table.append((f"{p}.proj_layers.{i}.weight",
+                          flax_root + (f"proj{i}", "Conv_0", "kernel"), t2f_conv))
+            table.append((f"{p}.proj_layers.{i}.bias",
+                          flax_root + (f"proj{i}", "Conv_0", "bias"), None))
+            lnorm(f"{p}.norm_layers.{i}", flax_root + (f"norm{i}",))
 
         cd_t = f"{p}.class_decoders.{i}"
         cd_f = flax_root + (f"class_decoder{i}",)
@@ -247,13 +254,15 @@ def icl_head_key_table(torch_prefix: str, flax_root: tuple, num_scales: int = 3)
 
 
 def convert_icl_heads(sd: Dict[str, np.ndarray], num_scales: int = 3,
-                      torch_names=("sspa", "uscl"), guided_q_name: str = "guided_Q"):
+                      torch_names=("sspa", "uscl"), guided_q_name: str = "guided_Q",
+                      tokenized: bool = False):
     """sspa/uscl InherentConsistent heads from a full (non-stripped)
     state_dict -> flax subtrees. `guided_q_name` handles the
-    swinunetr_icl.py:404 spelling (`guide_Q`)."""
+    swinunetr_icl.py:404 spelling (`guide_Q`); `tokenized` the Swin 2D
+    proj-less variant (vision_transformer.py:245-247)."""
     table = []
     for name in torch_names:
-        t = icl_head_key_table(name, (name,), num_scales)
+        t = icl_head_key_table(name, (name,), num_scales, tokenized=tokenized)
         if guided_q_name != "guided_Q":
             t = [(k.replace(".guided_Q", f".{guided_q_name}"), f_path, tf)
                  for k, f_path, tf in t]
@@ -810,6 +819,34 @@ def convert_swinunetr_ckpt(sd: Dict[str, np.ndarray], depths=(2, 2, 2, 2)):
     params = {"swinViT": convert_swinvit3d(swin_sd, depths)}
     conv_params, _, missing = _apply_table(sd, swinunetr_conv_key_table())
     return _merge_into(params, conv_params), {}, missing
+
+
+def convert_icl_swinunet2d(sd: Dict[str, np.ndarray], depths=(2, 2, 2, 2)):
+    """Full reference SwinUnet ICL wrapper state_dict
+    (vision_transformer.py:32-146: `swin_unet.*` backbone + tokenized
+    sspa/uscl heads) -> icl_tpu SwinUNetICL (params, batch_stats,
+    missing). The torch heads' unused proj_layers/norm_layers params are
+    intentionally not mapped (tokenized=True)."""
+    sd = strip_prefix(sd, "module.")
+    backbone_sd = {k[len("swin_unet."):]: v for k, v in sd.items()
+                   if k.startswith("swin_unet.")}
+    bp, bb, m1 = _apply_table(backbone_sd, swinunet2d_full_key_table(depths))
+    hp, hb, m2 = convert_icl_heads(sd, tokenized=True)
+    params = _merge_into({"swin_unet": bp}, hp)
+    batch_stats = _merge_into({"swin_unet": bb} if bb else {}, hb)
+    return params, batch_stats, m1 + m2
+
+
+def convert_icl_swinunetr(sd: Dict[str, np.ndarray], depths=(2, 2, 2, 2)):
+    """Full reference SwinUNETR_icl state_dict (swinunetr_icl.py:30-357:
+    vendored swinViT + UNETR conv blocks + conv-proj sspa/uscl heads with
+    the `guide_Q` param spelling :404) -> icl_tpu SwinUNETRICL
+    (params, batch_stats, missing). Backbone lands under 'backbone'."""
+    sd = strip_prefix(sd, "module.")
+    bp, _, m1 = convert_swinunetr_ckpt(sd, depths)
+    hp, hb, m2 = convert_icl_heads(sd, guided_q_name="guide_Q")
+    params = _merge_into({"backbone": bp}, hp)
+    return params, hb, m1 + m2
 
 
 def export_swinunetr(params: dict, depths=(2, 2, 2, 2)) -> Dict[str, np.ndarray]:

@@ -1,1 +1,1 @@
-from . import layers  # noqa: F401
+from . import blocks, layers  # noqa: F401

@@ -57,3 +57,19 @@ def test_jax_only_mode_runs():
     )
     result = parity_run.run(args)
     assert "icl_tpu" in result and "torch_reference" not in result
+
+
+@needs_ref
+def test_build_reference_net_accepts_all_model_keys():
+    """--torch_side must work for all 8 model keys (VERDICT r2 item 1):
+    the Swin families construct through the refshim einops/timm/monai
+    stand-ins. Constructor smoke + state-dict convertibility check."""
+    from icl_tpu.utils import torch_import as ti
+
+    for key in parity_run.MODEL_FAMILIES:
+        ncls = 2 if parity_run.MODEL_FAMILIES[key][0] == "3d" else 4
+        net = parity_run.build_reference_net(key, ncls)
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        converter = getattr(ti, parity_run.MODEL_FAMILIES[key][2])
+        _, _, missing = converter(sd)
+        assert not missing, f"{key}: converter missing {missing[:5]}"
