@@ -1,13 +1,17 @@
-"""Benchmark: ICL 2D U-Net semi-supervised training throughput on the
-reference ACDC config (batch 16 = 8 labeled + 8 unlabeled, 256² patches,
-SGD+poly — train_inherent_consistent_unet_2D.py:31-49).
+"""Benchmark: ICL training throughput per family on the reference
+configs. Flagship = ICL 2D U-Net on ACDC (batch 16 = 8 labeled + 8
+unlabeled, 256² patches, SGD+poly — train_inherent_consistent_unet_2D.py
+:31-49); secondary families (VERDICT r2 item 5) = icl_swinunet 2D @224²,
+unet_3D_icl + swinunetr_icl BraTS @96³ bs4.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+flagship (driver contract), with per-family results in a "families" dict
+and spread percentiles alongside. Set ICL_TPU_BENCH_FAMILIES=flagship to
+skip the secondaries.
 
-value = training slices/sec (batch 16 per step). The reference publishes
-no throughput (BASELINE.md); vs_baseline is measured against
-BENCH_BASELINE.json — written on the first ever run (self-baseline), so
-vs_baseline tracks cumulative speedup across rounds.
+The reference publishes no throughput (BASELINE.md); vs_baseline is
+measured against BENCH_BASELINE.json — written on the first ever run
+(self-baseline), so vs_baseline tracks cumulative speedup across rounds.
 """
 from __future__ import annotations
 
@@ -27,9 +31,69 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 
+def time_family(cfg, batch_shape, num_classes: int, steps: int):
+    """Compile + warmup one jitted train step, then `steps` blocked
+    per-step timings. Returns dict with p10/p50/p90 (ms), steps/s (p50),
+    and the XLA-reported FLOPs/step when available.
+
+    Blocked (one step in flight): free-running dispatch with donated
+    multi-GB states can collapse the allocator on this runtime, and a
+    bounded 2-deep queue measures no faster (round-3 experiment: 689
+    blocked vs 662 queue-2 slices/s under load); blocking costs ~0.1ms.
+
+    NOTE: do NOT pre-split a list of rng keys — holding ~200 live tiny
+    device buffers alongside the donated multi-GB state makes every step
+    ~40× slower on this runtime (measured: 184ms vs 4.4ms p10)."""
+    from icl_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=batch_shape), jnp.float32),
+        "label": jnp.asarray(
+            rng.integers(0, num_classes, size=batch_shape[:-1]), jnp.int32
+        ),
+    }
+    step_rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    state, m = trainer.step_jit(state, batch, step_rng)
+    jax.block_until_ready(m["loss"])
+    compile_s = time.time() - t0
+
+    flops = None
+    try:
+        ca = trainer.step_jit.lower(state, batch, step_rng).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops"))
+    except Exception:
+        pass
+
+    step_times = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        state, m = trainer.step_jit(state, batch, jax.random.fold_in(step_rng, i))
+        jax.block_until_ready(m["loss"])
+        step_times.append(time.perf_counter() - t0)
+    p10, p50, p90 = (float(np.percentile(step_times, q)) for q in (10, 50, 90))
+    out = {
+        "steps_per_sec_p50": round(1.0 / p50, 3),
+        "p10_ms": round(p10 * 1e3, 3),
+        "p50_ms": round(p50 * 1e3, 3),
+        "p90_ms": round(p90 * 1e3, 3),
+        "compile_or_cache_load_s": round(compile_s, 1),
+    }
+    if flops:
+        out["flops_per_step"] = flops
+        out["tflops_at_p50"] = round(flops / p50 / 1e12, 1)
+    # release donated buffers before the next family compiles
+    jax.block_until_ready(state)
+    del state, trainer
+    return out
+
+
 def main():
     from icl_tpu.config import ExperimentConfig
-    from icl_tpu.train.trainer import Trainer
 
     batch_size, labeled_bs, patch = 16, 8, 256
     cfg = ExperimentConfig(
@@ -42,39 +106,35 @@ def main():
         # 1.9 on A100, where TF32 matmuls/convs are on by default
         precision="bfloat16",
     )
-    trainer = Trainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    # Headline = MEDIAN (p50) blocked step latency — the defensible
+    # "sustained" statistic; p10/p90 reported as spread (this tunneled
+    # chip oscillates between ~4ms phases and >100ms stall spikes).
+    flagship = time_family(cfg, (batch_size, patch, patch, 1), 4, steps=150)
+    p10, p50, p90 = (flagship[k] / 1e3 for k in ("p10_ms", "p50_ms", "p90_ms"))
+    slices_per_sec = flagship["steps_per_sec_p50"] * batch_size
 
-    rng = np.random.default_rng(0)
-    batch = {
-        "image": jnp.asarray(rng.normal(size=(batch_size, patch, patch, 1)), jnp.float32),
-        "label": jnp.asarray(rng.integers(0, 4, size=(batch_size, patch, patch)), jnp.int32),
-    }
-
-    # Warmup / compile. NOTE: do NOT pre-split a list of rng keys here —
-    # holding ~200 live tiny device buffers alongside the donated multi-GB
-    # state makes every step ~40× slower on this runtime (measured:
-    # 184ms vs 4.4ms p10). fold_in per step is effectively free.
-    step_rng = jax.random.PRNGKey(1)
-    state, m = trainer.step_jit(state, batch, step_rng)
-    jax.block_until_ready(m["loss"])
-
-    # Per-step blocked timings. Headline = MEDIAN (p50) step latency —
-    # the defensible "sustained" statistic; p10/p90 are reported as spread
-    # (this tunneled chip oscillates between ~4ms phases and >100ms stall
-    # spikes, so the spread is informative).
-    # Blocking (one step in flight) costs ~0.1ms and avoids the donated
-    # multi-GB-state allocator collapse free-running dispatch can trigger.
-    step_times = []
-    for i in range(150):
-        t0 = time.perf_counter()
-        state, m = trainer.step_jit(state, batch, jax.random.fold_in(step_rng, i))
-        jax.block_until_ready(m["loss"])
-        step_times.append(time.perf_counter() - t0)
-
-    p10, p50, p90 = (float(np.percentile(step_times, q)) for q in (10, 50, 90))
-    steps_per_sec = 1.0 / p50
-    slices_per_sec = steps_per_sec * batch_size
+    families = {"icl_unet_acdc": dict(flagship, slices_per_sec=round(slices_per_sec, 1))}
+    if os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship":
+        swin2d_cfg = ExperimentConfig(
+            model="icl_swinunet", patch_size=(224, 224), batch_size=16,
+            labeled_bs=8, max_iterations=30000, precision="bfloat16",
+        )
+        families["icl_swinunet_acdc"] = time_family(
+            swin2d_cfg, (16, 224, 224, 1), 4, steps=50)
+        unet3d_cfg = ExperimentConfig(
+            model="unet_3D_icl", patch_size=(96, 96, 96), batch_size=4,
+            labeled_bs=2, num_classes=2, max_iterations=30000,
+            consis_weight=10.0, precision="bfloat16",
+        )
+        families["unet_3d_icl_brats"] = time_family(
+            unet3d_cfg, (4, 96, 96, 96, 1), 2, steps=50)
+        swin3d_cfg = ExperimentConfig(
+            model="swinunetr_icl", patch_size=(96, 96, 96), batch_size=4,
+            labeled_bs=2, num_classes=2, max_iterations=30000,
+            consis_weight=10.0, remat=True, precision="bfloat16",
+        )
+        families["swinunetr_icl_brats"] = time_family(
+            swin3d_cfg, (4, 96, 96, 96, 1), 2, steps=50)
 
     STAT = "p50"
     baseline = None
@@ -112,6 +172,7 @@ def main():
                 "p50_ms": round(p50 * 1e3, 3),
                 "p90_ms": round(p90 * 1e3, 3),
                 "baseline_is_self": True,
+                "families": families,
             }
         )
     )

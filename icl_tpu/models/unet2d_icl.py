@@ -22,10 +22,16 @@ class UNetICL(nn.Module):
     in_chns: int
     class_num: int
     patch_size: int = 256
+    # stochasticity knobs (reference defaults). zero_stochastic=True
+    # turns off dropout + drop-path while keeping BN batch-stat updates
+    # — used by the train-step reference-parity test, where dropout
+    # randomness can't be matched bit-for-bit across frameworks.
+    zero_stochastic: bool = False
 
     def setup(self):
         ft = DEFAULT_FEATURES
-        self.encoder = Encoder(self.in_chns)
+        enc_dropout = (0.0,) * 5 if self.zero_stochastic else Encoder.dropout
+        self.encoder = Encoder(self.in_chns, dropout=enc_dropout)
         self.decoder = Decoder(self.class_num, return_feats=True)
         icl_kwargs = dict(
             in_chans=(ft[3], ft[2], ft[1]),
@@ -37,6 +43,7 @@ class UNetICL(nn.Module):
                 self.patch_size // 2,
             ),
             spatial_dims=2,
+            drop_path_rate=0.0 if self.zero_stochastic else 0.1,
         )
         self.sspa = InherentConsistent(**icl_kwargs)
         self.uscl = InherentConsistent(**icl_kwargs)

@@ -40,6 +40,60 @@ def host_local_batches(global_batches: Iterator[dict], process_index: int,
         yield host_slice(b, process_index, process_count)
 
 
+def initialize_from_args(coordinator: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None):
+    """`jax.distributed.initialize` from CLI flags with ICL_TPU_*
+    env-var fallbacks (ICL_TPU_COORDINATOR / ICL_TPU_NUM_PROCESSES /
+    ICL_TPU_PROCESS_ID). No-op for single-process runs. Returns
+    (process_index, process_count). Call BEFORE any jax device query."""
+    import os
+
+    import jax
+
+    coordinator = coordinator or os.environ.get("ICL_TPU_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("ICL_TPU_NUM_PROCESSES", "1") or 1)
+    if process_id is None:
+        process_id = int(os.environ.get("ICL_TPU_PROCESS_ID", "0") or 0)
+    if num_processes > 1:
+        assert coordinator, "--dist_coordinator (host:port) required when num_processes > 1"
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def multihost_batches(global_batches: Iterator[dict], mesh) -> Iterator[dict]:
+    """Turn a deterministically-seeded GLOBAL batch stream into global
+    sharded arrays: each host materializes only its contiguous row block
+    and the global view is assembled per batch. Single-process: the
+    whole batch is local and this is just a device_put with the batch
+    sharding."""
+    import jax
+
+    pid, pcount = jax.process_index(), jax.process_count()
+    for b in global_batches:
+        yield make_global_array(host_slice(b, pid, pcount), mesh)
+
+
+def state_host_readable(state) -> bool:
+    """Whether every array leaf of `state` can be pulled to THIS host
+    (fully replicated, fully addressable, or not a global jax.Array).
+    Under multi-process tensor parallelism model-sharded params span
+    hosts and a plain device_get would fail — callers skip/shard the
+    save instead."""
+    import jax
+
+    for leaf in jax.tree.leaves(state):
+        if isinstance(leaf, jax.Array):
+            if not (leaf.is_fully_replicated or leaf.is_fully_addressable):
+                return False
+    return True
+
+
 def all_gather_case_metrics(local_metric_cal: list[list[tuple[float, float]]]):
     """Gather per-case (dice, hd95) lists from all hosts (the TPU-native
     stand-in for the reference's dead `distributed_all_gather`,

@@ -25,6 +25,19 @@ from icl_tpu.utils.logging_utils import ScalarWriter, setup_logging
 ACDC_CLASS_NAMES = ["RV", "Myo", "LV"]  # classes 1..3 (train_…unet_2D.py:190-203)
 
 
+class _NullWriter:
+    """Scalar sink for non-zero processes in multi-process runs."""
+
+    def add_scalar(self, tag, value, step) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None):
         self.cfg = cfg
@@ -154,8 +167,18 @@ class Trainer:
         icl_tpu.metrics.aggregate_case_metrics."""
         cfg = self.cfg
         snapshot = cfg.snapshot_path
-        logger = setup_logging(snapshot)
-        writer = ScalarWriter(snapshot + "/log")
+        # multi-process: only process 0 touches the snapshot dir (logs,
+        # TB scalars, checkpoints); params are replicated under DP so
+        # every process computes identical state (SURVEY §7 step 7)
+        is_main = jax.process_index() == 0
+        if is_main:
+            logger = setup_logging(snapshot)
+            writer = ScalarWriter(snapshot + "/log")
+        else:
+            import logging as _logging
+
+            logger = _logging.getLogger("icl_tpu")
+            writer = _NullWriter()
         rng = jax.random.PRNGKey(cfg.seed)
 
         if class_names is None:
@@ -206,39 +229,58 @@ class Trainer:
                     iter_num,
                 )
 
-            if evaluate is not None and iter_num % cfg.val_interval == 0:
+            if (evaluate is not None and is_main
+                    and iter_num % cfg.val_interval == 0):
                 # keep params on device for the jitted predictors; only the
                 # (ICL-stripped) best-checkpoint save pulls to host
                 variables = {
                     "params": state.params,
                     "batch_stats": state.batch_stats,
                 }
-                agg = evaluate(variables)
-                writer.add_scalar("metric_all/mean_dice", agg["mean_dice"], iter_num)
-                writer.add_scalar("metric_all/mean_hd95", agg["mean_hd95"], iter_num)
-                writer.add_scalar("metric_all/std_dice", agg["std_dice"], iter_num)
-                writer.add_scalar("metric_all/std_hd95", agg["std_hd95"], iter_num)
-                for ci, name in enumerate(class_names):
-                    writer.add_scalar(
-                        f"metric_class_{name}/mean_dice", agg["class_mean"][ci][0], iter_num
-                    )
-                    writer.add_scalar(
-                        f"metric_class_{name}/mean_hd95", agg["class_mean"][ci][1], iter_num
-                    )
-                logger.info(
-                    "iteration %d : mean_dice : %f  mean_hd95 : %f",
-                    iter_num, agg["mean_dice"], agg["mean_hd95"],
-                )
-                if agg["mean_dice"] > best_performance:
-                    best_performance = agg["mean_dice"]
-                    # reference contract: ICL heads stripped — for ICL
-                    # models this drops ~99% of the bytes (the token-MLPs)
-                    path = ckpt.save_best_model(
-                        snapshot, variables["params"], variables["batch_stats"]
-                    )
-                    logger.info("saving best model at iter %d -> %s", iter_num, path)
+                if jax.process_count() > 1:
+                    # predictors jit on THIS host's devices only; global
+                    # (mesh-spanning) param arrays would require SPMD
+                    # participation from every process. Under DP the
+                    # params are replicated — pull local copies.
+                    from icl_tpu.parallel.multihost import state_host_readable
 
-            if cfg.checkpoint_interval and iter_num % cfg.checkpoint_interval == 0:
+                    if not state_host_readable(variables):
+                        logger.warning(
+                            "skipping validation at iter %d: params span "
+                            "hosts (multi-process TP); evaluate offline",
+                            iter_num,
+                        )
+                        variables = None
+                    else:
+                        variables = jax.device_get(variables)
+                agg = evaluate(variables) if variables is not None else None
+                if agg is not None:
+                    writer.add_scalar("metric_all/mean_dice", agg["mean_dice"], iter_num)
+                    writer.add_scalar("metric_all/mean_hd95", agg["mean_hd95"], iter_num)
+                    writer.add_scalar("metric_all/std_dice", agg["std_dice"], iter_num)
+                    writer.add_scalar("metric_all/std_hd95", agg["std_hd95"], iter_num)
+                    for ci, name in enumerate(class_names):
+                        writer.add_scalar(
+                            f"metric_class_{name}/mean_dice", agg["class_mean"][ci][0], iter_num
+                        )
+                        writer.add_scalar(
+                            f"metric_class_{name}/mean_hd95", agg["class_mean"][ci][1], iter_num
+                        )
+                    logger.info(
+                        "iteration %d : mean_dice : %f  mean_hd95 : %f",
+                        iter_num, agg["mean_dice"], agg["mean_hd95"],
+                    )
+                    if agg["mean_dice"] > best_performance:
+                        best_performance = agg["mean_dice"]
+                        # reference contract: ICL heads stripped — for ICL
+                        # models this drops ~99% of the bytes (the token-MLPs)
+                        path = ckpt.save_best_model(
+                            snapshot, variables["params"], variables["batch_stats"]
+                        )
+                        logger.info("saving best model at iter %d -> %s", iter_num, path)
+
+            if (is_main and cfg.checkpoint_interval
+                    and iter_num % cfg.checkpoint_interval == 0):
                 path = ckpt.save_train_state_rolling(
                     snapshot, state, iter_num, keep=cfg.keep_checkpoints
                 )
@@ -255,7 +297,15 @@ class Trainer:
         state_bytes = sum(
             int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(state)
         )
-        if cfg.checkpoint_interval or state_bytes < (1 << 30):
+        from icl_tpu.parallel.multihost import state_host_readable
+
+        if not is_main:
+            pass  # process 0 owns all snapshot writes
+        elif not state_host_readable(state):
+            logger.info(
+                "skipping final save: state spans hosts (multi-process TP)"
+            )
+        elif cfg.checkpoint_interval or state_bytes < (1 << 30):
             ckpt.save_train_state(snapshot, state, name="last")
         else:
             # Full-state pulls for multi-GB ICL states are prohibitively

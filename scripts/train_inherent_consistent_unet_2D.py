@@ -45,11 +45,25 @@ def parse_args():
                         "the train step (~20x end-to-end on tunneled chips)")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    # multi-process data parallelism (launch one process per host with
+    # identical flags plus a distinct --process_id; env fallbacks
+    # ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID):
+    #   python train_inherent_consistent_unet_2D.py ... \
+    #     --dist_coordinator host0:1234 --num_processes 2 --process_id 0
+    p.add_argument("--dist_coordinator", type=str, default=None,
+                   help="host:port of process 0 (jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from icl_tpu.parallel.multihost import initialize_from_args
+
+    pid, pcount = initialize_from_args(
+        args.dist_coordinator, args.num_processes, args.process_id
+    )
     cfg = ExperimentConfig(
         root_path=args.root_path, exp=args.exp, model=args.model,
         num_classes=args.num_classes, max_iterations=args.max_iterations,
@@ -65,9 +79,19 @@ def main():
 
     train_ds = ACDCDataset(cfg.root_path, "train")
     val_ds = ACDCDataset(cfg.root_path, "val_test")
-    print(f"Total slices: {len(train_ds)}, labeled slices: {labeled_slice}")
+    if pid == 0:
+        print(f"Total slices: {len(train_ds)}, labeled slices: {labeled_slice}")
 
-    trainer = Trainer(cfg)
+    mesh = None
+    if pcount > 1:
+        assert args.input_mode == "host", (
+            "device_bank is a single-host HBM-resident mode; use "
+            "--input_mode host for multi-process runs"
+        )
+        from icl_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()  # data axis over every device on every host
+    trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
 
     if args.input_mode == "device_bank":
@@ -85,19 +109,26 @@ def main():
 
         batches = bank_batches()
     else:
-        batches = Prefetcher(
-            acdc_train_batches(
-                train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
-                cfg.patch_size, seed=cfg.seed,
-            )
+        global_batches = acdc_train_batches(
+            train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
+            cfg.patch_size, seed=cfg.seed,
         )
+        if mesh is not None:
+            # every host runs the SAME seeded sampler; each materializes
+            # only its row block of the logical global batch
+            from icl_tpu.parallel.multihost import multihost_batches
+
+            batches = multihost_batches(global_batches, mesh)
+        else:
+            batches = Prefetcher(global_batches)
     predict = make_slice_predictor(trainer.model, cfg.patch_size)
 
     def evaluate(variables):
         return evaluate_acdc_volumes(predict, variables, val_ds, cfg.num_classes)
 
     trainer.fit(state, batches, evaluate=evaluate)
-    print("Training Finished!")
+    if pid == 0:
+        print("Training Finished!")
 
 
 if __name__ == "__main__":

@@ -1,9 +1,12 @@
 """Worker for tests/test_two_process.py: one of two jax.distributed
 CPU processes exercising make_global_array + the REAL gather branch of
-all_gather_case_metrics (VERDICT r1 item 7).
+all_gather_case_metrics (VERDICT r1 item 7), and — in `train` mode —
+REAL jitted icl_unet train steps over a 2-process mesh with the TP
+rules active plus a Trainer.fit run with process-0-only snapshot writes
+(VERDICT r2 item 2).
 
-Usage: python _dist_worker.py <process_id> <coordinator_port>
-Prints one JSON line with the gathered results for the parent to check.
+Usage: python _dist_worker.py <process_id> <coordinator_port> [train <snapshot_dir>]
+Prints one JSON line with the results for the parent to check.
 """
 import json
 import os
@@ -16,6 +19,11 @@ import jax  # noqa: E402
 # the container's sitecustomize force-registers the axon TPU backend and
 # overrides JAX_PLATFORMS; switch via jax.config (tests/conftest.py note)
 jax.config.update("jax_platforms", "cpu")
+# share the test suite's persistent compile cache — the single-core
+# GSPMD compile dominates this worker's runtime on first execution
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 
@@ -28,6 +36,84 @@ from icl_tpu.parallel.multihost import (  # noqa: E402
 )
 
 
+def make_train_batches(n_steps: int, batch_size: int, size: int):
+    """Deterministic global batches — identical on every process."""
+    rng = np.random.default_rng(0)
+    return [
+        {
+            "image": rng.normal(size=(batch_size, size, size, 1)).astype(np.float32),
+            "label": rng.integers(0, 4, size=(batch_size, size, size)).astype(np.int32),
+        }
+        for _ in range(n_steps)
+    ]
+
+
+def train_main(pid: int, snapshot_dir: str):
+    """3 jitted icl_unet steps on a data2×model2 mesh (TP rules live,
+    global batch assembled from per-host row blocks), then 2 more steps
+    through Trainer.fit on the SAME mesh — exercising the process-0-only
+    snapshot gating and the spans-hosts final-save skip, while compiling
+    only ONE program (this box has a single CPU core; a second jitted
+    program would double the dominant cost). Emits per-step losses + a
+    param checksum for the parent's single-process equivalence check."""
+    import jax.numpy as jnp
+
+    from icl_tpu.config import ExperimentConfig
+    from icl_tpu.parallel.mesh import create_mesh
+    from icl_tpu.parallel.multihost import multihost_batches
+    from icl_tpu.train.trainer import Trainer
+
+    checksum_fn = jax.jit(
+        lambda t: jax.tree.reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b.astype(jnp.float64))), t, 0.0
+        )
+    )
+
+    cfg = ExperimentConfig(
+        model="icl_unet", patch_size=(16, 16), batch_size=4, labeled_bs=2,
+        max_iterations=5, experiments_dir=snapshot_dir, exp="dist_tp",
+    )
+    mesh = create_mesh(data=2, model=2)
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(cfg.seed)
+    gbs = list(multihost_batches(iter(make_train_batches(3, 4, 16)), mesh))
+
+    # Compile is process-LOCAL; the first collective EXECUTION initializes
+    # the gloo context under a 30s key-value timeout. On this single-core
+    # box the two processes can finish the multi-minute trace far apart,
+    # so: AOT-compile first, then rendezvous at a coordination-service
+    # barrier (generous timeout), and only then execute.
+    rng, r0 = jax.random.split(rng)
+    compiled = trainer.step_jit.lower(state, gbs[0], r0).compile()
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("icl_step_compiled")
+
+    losses = []
+    step_rng = r0
+    for i, gb in enumerate(gbs):
+        if i > 0:
+            rng, step_rng = jax.random.split(rng)
+        state, metrics = compiled(state, gb, step_rng)
+        losses.append(float(metrics["loss"]))
+
+    # fit() continues from state.step == 3 to max_iterations == 5 using
+    # the SAME compiled step; process 0 alone writes the snapshot, and
+    # the final save is skipped (model-sharded params span hosts)
+    state = trainer.fit(
+        state, multihost_batches(iter(make_train_batches(2, 4, 16)), mesh)
+    )
+    print(json.dumps({
+        "pid": pid,
+        "mode": "train",
+        "losses": losses,
+        "checksum": float(checksum_fn(state.params)),
+        "fit_step": int(jax.device_get(state.step)),
+        "snapshot": cfg.snapshot_path,
+    }), flush=True)
+
+
 def main():
     pid = int(sys.argv[1])
     port = sys.argv[2]
@@ -36,6 +122,10 @@ def main():
     )
     assert jax.process_count() == 2
     assert len(jax.devices()) == 4  # 2 virtual CPU devices per process
+
+    if len(sys.argv) > 3 and sys.argv[3] == "train":
+        train_main(pid, sys.argv[4])
+        return
 
     from icl_tpu.parallel.mesh import create_mesh
 

