@@ -15,6 +15,7 @@ import os
 from typing import Any
 
 import jax
+import numpy as np
 from flax import serialization
 
 
@@ -120,6 +121,123 @@ def load_train_state_orbax(snapshot_path: str, target, name: str = "last"):
     path = os.path.abspath(os.path.join(snapshot_path, "model", f"orbax_{name}"))
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target=target)
+
+
+# ---- streaming (overlapped-D2H) checkpoints ----------------------------------
+def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
+                               chunk_bytes: int = 16 << 20,
+                               window: int = 16) -> str:
+    """Full-TrainState save with OVERLAPPED device→host pulls.
+
+    The tunneled D2H path is latency-bound, not bandwidth-bound: serial
+    per-buffer pulls read ~4 MB/s while ≥16 concurrent in-flight 16 MB
+    chunks sustain ~70–100 MB/s (round-3 measurement on the axon v5e) —
+    the difference between a ~35 min and a ~2 min save for the 8.6 GB
+    flagship ICL state. Leaves larger than `chunk_bytes` are sliced
+    along axis 0 on device; a `window`-deep queue of chunks keeps pulls
+    in flight while the host writes (device overhead ≤ window·chunk).
+
+    Layout: `{snapshot}/model/state_{name}.stream/` with `manifest.json`
+    (path → file, dtype, shape) + one .npy per leaf. Restore with
+    load_train_state_streaming."""
+    import json
+    from collections import deque
+
+    from flax import serialization, traverse_util
+
+    sd = serialization.to_state_dict(state)
+    flat = traverse_util.flatten_dict(sd, sep="/")
+    out_dir = os.path.join(snapshot_path, "model", f"state_{name}.stream")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def chunks():
+        """(path, row_start|None, row_stop, buffer) — leaf-contiguous."""
+        for path, leaf in flat.items():
+            if not hasattr(leaf, "copy_to_host_async"):
+                yield (path, None, None, np.asarray(leaf))
+                continue
+            if leaf.ndim == 0 or leaf.nbytes <= chunk_bytes:
+                yield (path, None, None, leaf)
+                continue
+            n0 = leaf.shape[0]
+            rows = max(1, int(chunk_bytes * n0 // leaf.nbytes))
+            for a in range(0, n0, rows):
+                yield (path, a, min(a + rows, n0), leaf[a: a + rows])
+
+    def issue(item):
+        buf = item[3]
+        if hasattr(buf, "copy_to_host_async"):
+            buf.copy_to_host_async()
+        queue.append(item)
+
+    queue: deque = deque()
+    gen = chunks()
+    for _ in range(window):
+        nxt = next(gen, None)
+        if nxt is None:
+            break
+        issue(nxt)
+
+    import logging
+    import time as _time
+
+    log = logging.getLogger("icl_tpu")
+    t_start = _time.perf_counter()
+    pulled = 0
+    manifest = {}
+    partial: dict = {}
+    idx = 0
+    while queue:
+        path, a, b, buf = queue.popleft()
+        nxt = next(gen, None)
+        if nxt is not None:
+            issue(nxt)
+        host = np.asarray(buf)
+        del buf
+        pulled += host.nbytes
+        if pulled and pulled % (1 << 30) < host.nbytes:
+            dt = _time.perf_counter() - t_start
+            log.info("streaming save: %.1f GB pulled, %.0f MB/s",
+                     pulled / 2**30, pulled / 2**20 / max(dt, 1e-9))
+        leaf_shape = np.shape(flat[path])
+        if a is None:
+            done, arr = True, host
+        else:
+            tgt = partial.setdefault(
+                path, np.empty(leaf_shape, host.dtype))
+            tgt[a:b] = host
+            done, arr = (b == leaf_shape[0]), tgt
+        if done:
+            fname = f"leaf{idx:05d}.npy"
+            idx += 1
+            np.save(os.path.join(out_dir, fname), arr)
+            manifest[path] = {"file": fname, "dtype": str(arr.dtype),
+                              "shape": list(arr.shape)}
+            partial.pop(path, None)
+
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return out_dir
+
+
+def load_train_state_streaming(snapshot_path: str, target, name: str = "last"):
+    """Restore a save_train_state_streaming checkpoint into `target`'s
+    structure (flax from_state_dict semantics)."""
+    import json
+
+    from flax import serialization, traverse_util
+
+    out_dir = os.path.join(snapshot_path, "model", f"state_{name}.stream")
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    flat = {
+        path: np.load(os.path.join(out_dir, rec["file"]))
+        for path, rec in manifest.items()
+    }
+    sd = traverse_util.unflatten_dict(flat, sep="/")
+    return serialization.from_state_dict(target, sd)
 
 
 # ---- rolling periodic checkpoints --------------------------------------------

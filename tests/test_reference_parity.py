@@ -570,7 +570,10 @@ def test_icl_unet2d_one_sgd_step_matches_reference():
             m.p = 0.0
         if type(m).__name__ == "DropPath":
             m.drop_prob = 0.0
-    sd = {k: t_np(v) for k, v in ref.state_dict().items()}
+    # COPY: t_np returns views of the torch storage, and opt.step() below
+    # mutates the params in place — without the copy the flax side would
+    # silently start from the post-step weights
+    sd = {k: t_np(v).copy() for k, v in ref.state_dict().items()}
     params, batch_stats, missing = ti.convert_icl_unet2d(sd)
     assert not missing
 

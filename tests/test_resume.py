@@ -103,3 +103,35 @@ def test_rolling_checkpoints_keep_zero_keeps_everything(tmp_path):
     assert len(ckpt.list_step_checkpoints(snap)) == 4
     with pytest.raises(ValueError):
         ckpt.save_train_state_rolling(snap, state, 50, keep=-1)
+
+
+def test_streaming_checkpoint_roundtrip(tmp_path):
+    """Overlapped-D2H streaming save/restore (utils/checkpoint.py):
+    chunked leaves reassemble bit-exactly, small/scalar/np leaves pass
+    through, and Trainer.restore_state picks up the .stream dialect."""
+    import jax.numpy as jnp
+
+    from icl_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    state = {
+        "params": {
+            # large leaf: chunked along axis 0 (3 chunks at 1MB chunk)
+            "big": jnp.asarray(rng.normal(size=(600, 1024)).astype(np.float32)),
+            "small": jnp.asarray(rng.normal(size=(7, 3)).astype(np.float32)),
+        },
+        "step": jnp.asarray(42, jnp.int32),
+        "np_leaf": rng.normal(size=(5,)).astype(np.float64),
+    }
+    snap = str(tmp_path / "snap")
+    out = ckpt.save_train_state_streaming(snap, state, chunk_bytes=1 << 20,
+                                          window=2)
+    assert out.endswith("state_last.stream")
+
+    target = jax.tree.map(np.zeros_like, jax.device_get(state))
+    restored = ckpt.load_train_state_streaming(snap, target)
+    got = jax.device_get(state)
+    np.testing.assert_array_equal(restored["params"]["big"], got["params"]["big"])
+    np.testing.assert_array_equal(restored["params"]["small"], got["params"]["small"])
+    assert int(restored["step"]) == 42
+    np.testing.assert_array_equal(restored["np_leaf"], got["np_leaf"])
