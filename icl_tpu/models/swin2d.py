@@ -154,10 +154,12 @@ class WindowAttention(nn.Module):
         # fused 4.52 ms; the kernel pays off from 3D window sizes,
         # N = 343: 16.6 → 7.9 ms). Keep XLA for small windows.
         if use_pallas_attention() and N >= 128:
+            from icl_tpu.ops.flags import pallas_interpret
             from icl_tpu.ops.pallas.window_attention import window_attention_fused
 
             m = jnp.asarray(mask) if mask is not None else None
-            out = window_attention_fused(q, k, v, rel_bias, m, scale=scale)
+            out = window_attention_fused(q, k, v, rel_bias, m, scale=scale,
+                                         interpret=pallas_interpret())
         else:
             attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + rel_bias[None]
             if mask is not None:

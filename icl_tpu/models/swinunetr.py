@@ -156,14 +156,15 @@ class WindowAttention3D(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         rel_bias = bias_table[rpi.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
 
-        from icl_tpu.ops.flags import use_pallas_attention
+        from icl_tpu.ops.flags import pallas_interpret, use_pallas_attention
 
         if use_pallas_attention():
             from icl_tpu.ops.pallas.window_attention import window_attention_fused
 
             m = jnp.asarray(mask) if mask is not None else None
             out = window_attention_fused(q, k, v, rel_bias, m, region_ids,
-                                         scale=scale)
+                                         scale=scale,
+                                         interpret=pallas_interpret())
         else:
             if region_ids is not None and mask is None:
                 mask = mask_from_region_ids(region_ids)

@@ -4,26 +4,46 @@ from __future__ import annotations
 import logging
 import os
 
-# Model-axis (tensor-parallel) size of the active mesh, recorded by
-# parallel.mesh.shard_state before any train-step trace. The fused
-# Pallas window-attention kernel is not GSPMD-aware: under tp>1 the
-# einsum path (which XLA partitions cleanly) must be used. Tracking it
-# here lets use_pallas_attention() auto-fall-back with no env var
-# (VERDICT r2 weak #2 / ADVICE r2 medium).
+# Mesh geometry of the active sharding setup, recorded by
+# parallel.mesh.shard_state before any train-step trace (safe to set
+# directly when sharding is arranged by hand). The fused Pallas window
+# attention is GSPMD-aware through a Shardy custom_partitioning wrapper
+# (ops/pallas/window_attention.py) that engages whenever the mesh spans
+# more than one device — on a single chip the direct pallas dispatch is
+# used unchanged.
 _MODEL_AXIS_SIZE = 1
-_fallback_logged = False
+_MESH_DEVICE_COUNT = 1
 
 
 def set_model_axis_size(n: int) -> None:
     """Record the tensor-parallel (model-axis) size of the mesh the next
-    jit trace will run under. Called by parallel.mesh.shard_state; safe
-    to call directly before tracing when sharding is set up by hand."""
+    jit trace will run under. Called by parallel.mesh.shard_state."""
     global _MODEL_AXIS_SIZE
     _MODEL_AXIS_SIZE = int(n)
 
 
+def set_mesh_device_count(n: int) -> None:
+    """Record the TOTAL device count of the active mesh; >1 routes the
+    fused attention through its custom_partitioning wrapper so Shardy
+    can partition it over the batch/head factors."""
+    global _MESH_DEVICE_COUNT
+    _MESH_DEVICE_COUNT = int(n)
+
+
 def model_axis_size() -> int:
     return _MODEL_AXIS_SIZE
+
+
+def mesh_device_count() -> int:
+    return _MESH_DEVICE_COUNT
+
+
+def pallas_interpret() -> bool:
+    """Run the fused attention in pallas interpret mode
+    (ICL_TPU_PALLAS_INTERPRET=1). Testing hook: lets the CPU mesh drive
+    the REAL model path (flag forced on) through the kernel + its GSPMD
+    wrapper without TPU hardware."""
+    return os.environ.get("ICL_TPU_PALLAS_INTERPRET") == "1"
 
 
 def use_pallas_attention() -> bool:
@@ -32,24 +52,15 @@ def use_pallas_attention() -> bool:
     Default ON for TPU backends (measured 1.3× faster than the XLA
     einsum path on SwinUNETR window shapes at full f32 accumulation,
     v5e), OFF elsewhere (CPU runs the einsum path; the kernel itself is
-    validated in interpret mode in tests) and OFF whenever the active
-    mesh has a model axis > 1 (the kernel is not GSPMD-aware; the
-    einsum path partitions cleanly). ICL_TPU_PALLAS=0/1 overrides
-    everything, including the tp>1 fallback.
+    validated in interpret mode in tests). Multi-device meshes —
+    including tp>1 — keep the fused path: the kernel partitions over
+    the window/head factors via custom_partitioning (round 3; the r2
+    auto-fallback to einsum under tp>1 is gone). ICL_TPU_PALLAS=0/1
+    overrides.
     """
-    global _fallback_logged
     env = os.environ.get("ICL_TPU_PALLAS")
     if env is not None:
         return env == "1"
-    if _MODEL_AXIS_SIZE > 1:
-        if not _fallback_logged:
-            logging.getLogger("icl_tpu").info(
-                "Pallas window attention disabled: mesh model axis = %d "
-                "(einsum path partitions under GSPMD; set ICL_TPU_PALLAS=1 "
-                "to force the kernel)", _MODEL_AXIS_SIZE,
-            )
-            _fallback_logged = True
-        return False
     import jax
 
     try:

@@ -53,10 +53,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 #    encoder10/decoder5): conv1 column (output channels — per-channel
 #    InstanceNorm and leaky-relu stay shard-local), conv2 row.
 #
-# The fused Pallas window-attention kernel is not GSPMD-aware; when the
-# active mesh has model>1, shard_state records the axis size and
-# ops.flags.use_pallas_attention() auto-falls back to the XLA einsum
-# path (which partitions cleanly) — no env var needed.
+# The fused Pallas window-attention kernel partitions under GSPMD via a
+# Shardy custom_partitioning wrapper (batch/head factors shard; window
+# geometry replicates); shard_state records the mesh size so the wrapper
+# engages only on multi-device meshes.
 DEFAULT_PARAM_RULES: list[tuple[str, P]] = [
     (r".*mlp2/fc1/Dense_0/kernel", P(None, "model")),
     (r".*mlp2/fc1/Dense_0/bias", P("model")),
@@ -109,13 +109,14 @@ def shard_state(state, mesh: Mesh, rules=None):
     """device_put a TrainState with param rules applied to params and the
     matching momentum buffers; everything else replicated.
 
-    Also records the mesh's model-axis size so the attention flag can
-    auto-disable the (non-GSPMD-aware) Pallas kernel under tp>1 —
+    Also records the mesh geometry so the fused attention routes through
+    its GSPMD custom_partitioning wrapper on multi-device meshes —
     shard_state runs before any train-step trace in every integration
     point (Trainer.init_state, dryrun_multichip, tests)."""
     from icl_tpu.ops import flags
 
     flags.set_model_axis_size(dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1))
+    flags.set_mesh_device_count(mesh.devices.size)
     p_sh = param_shardings(state.params, mesh, rules)
 
     def put(tree, sh):

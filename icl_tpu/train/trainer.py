@@ -157,10 +157,17 @@ class Trainer:
 
         snap = self.cfg.snapshot_path
         msgpack = os.path.join(snap, "model", f"state_{name}.msgpack")
-        if not os.path.exists(msgpack) and os.path.isdir(
-            os.path.join(snap, "model", f"state_{name}.stream")
-        ):
+        if os.path.exists(msgpack):
+            return ckpt.load_train_state(snap, state, name=name)
+        if os.path.isdir(os.path.join(snap, "model", f"state_{name}.stream")):
             return ckpt.load_train_state_streaming(snap, state, name=name)
+        if os.path.isdir(
+            os.path.join(snap, "model", f"orbax_sharded_{name}")
+        ):
+            # collective restore of a multi-process sharded save: `state`
+            # must already carry the target shardings (init_state under
+            # the same mesh)
+            return ckpt.load_train_state_sharded(snap, state, name=name)
         return ckpt.load_train_state(snap, state, name=name)
 
     # ------------------------------------------------------------------
@@ -308,12 +315,21 @@ class Trainer:
         )
         from icl_tpu.parallel.multihost import state_host_readable
 
-        if not is_main:
+        if not state_host_readable(state):
+            # model axis spans hosts: no process can materialize the
+            # full state — COLLECTIVE sharded Orbax save instead (every
+            # process writes its addressable shards; snapshot dir must
+            # be a shared filesystem)
+            t0 = time.perf_counter()
+            path = ckpt.save_train_state_sharded(snapshot, state, name="last")
+            if is_main:
+                logger.info(
+                    "final sharded save (state spans hosts): %.1f GB in "
+                    "%.1fs -> %s",
+                    state_bytes / 2**30, time.perf_counter() - t0, path,
+                )
+        elif not is_main:
             pass  # process 0 owns all snapshot writes
-        elif not state_host_readable(state):
-            logger.info(
-                "skipping final save: state spans hosts (multi-process TP)"
-            )
         elif state_bytes < (1 << 30):
             ckpt.save_train_state(snapshot, state, name="last")
         else:

@@ -146,7 +146,13 @@ def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
     from flax import serialization, traverse_util
 
     sd = serialization.to_state_dict(state)
-    flat = traverse_util.flatten_dict(sd, sep="/")
+    # keep_empty_nodes: optax chains carry EmptyState ({}) entries whose
+    # positions must survive the round-trip (from_state_dict restores
+    # lists by length)
+    flat = traverse_util.flatten_dict(sd, sep="/", keep_empty_nodes=True)
+    empties = [p for p, v in flat.items() if v is traverse_util.empty_node]
+    flat = {p: v for p, v in flat.items()
+            if v is not traverse_util.empty_node}
     out_dir = os.path.join(snapshot_path, "model", f"state_{name}.stream")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -217,7 +223,7 @@ def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
 
     tmp = os.path.join(out_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump({"leaves": manifest, "empty_nodes": empties}, f)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
     return out_dir
 
@@ -232,59 +238,141 @@ def load_train_state_streaming(snapshot_path: str, target, name: str = "last"):
     out_dir = os.path.join(snapshot_path, "model", f"state_{name}.stream")
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
+    # pre-round-3 manifests were a bare path->record map
+    records = manifest.get("leaves", manifest)
+    empties = manifest.get("empty_nodes", []) if "leaves" in manifest else []
     flat = {
         path: np.load(os.path.join(out_dir, rec["file"]))
-        for path, rec in manifest.items()
+        for path, rec in records.items()
     }
+    for p in empties:
+        flat[p] = traverse_util.empty_node
     sd = traverse_util.unflatten_dict(flat, sep="/")
     return serialization.from_state_dict(target, sd)
 
 
-# ---- rolling periodic checkpoints --------------------------------------------
-def save_train_state_rolling(snapshot_path: str, state, step: int,
-                             keep: int = 3) -> str:
-    """Periodic resumable checkpoint with keep-last-N pruning: saves
-    `state_step_{step:08d}.msgpack`, points `state_last.msgpack` at the
-    same bytes (hardlink when possible), and deletes older step files
-    beyond `keep`. `keep=0` keeps every step checkpoint (no pruning);
-    negative values are rejected. Capability addition over the reference
-    (whose periodic save is commented out, train_…unet_2D.py:214-218)."""
-    if keep < 0:
-        raise ValueError(f"keep must be >= 0, got {keep}")
-    model_dir = os.path.join(snapshot_path, "model")
-    path = os.path.join(model_dir, f"state_step_{step:08d}.msgpack")
-    save_pytree(path, jax.device_get(state))
-    last = os.path.join(model_dir, "state_last.msgpack")
-    try:
-        if os.path.exists(last) or os.path.islink(last):
-            os.remove(last)
-        os.link(path, last)
-    except OSError:
-        import shutil
+# ---- sharded (multi-process) checkpoints -------------------------------------
+def save_train_state_sharded(snapshot_path: str, state, name: str = "last") -> str:
+    """Distributed save of a host-SPANNING TrainState (multi-process TP:
+    no single process can materialize the model-sharded params). EVERY
+    process must call this collectively; Orbax writes each process's
+    addressable shards (OCDBT) and rendezvouses over the jax.distributed
+    coordination service. The snapshot path must be a filesystem all
+    processes can write (shared FS in real multi-host; the same local
+    disk in the 2-process test). Pass the LIVE sharded jax.Arrays — no
+    device_get."""
+    import orbax.checkpoint as ocp
 
-        shutil.copyfile(path, last)
-    if keep > 0:
-        for old in list_step_checkpoints(snapshot_path)[:-keep]:
-            os.remove(old)
+    path = os.path.abspath(
+        os.path.join(snapshot_path, "model", f"orbax_sharded_{name}")
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
     return path
 
 
+def load_train_state_sharded(snapshot_path: str, target, name: str = "last"):
+    """Collective restore of save_train_state_sharded output. `target`
+    is a live (or abstract) TrainState whose leaves carry the shardings
+    to restore into — each process reads only its shards."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(
+        os.path.join(snapshot_path, "model", f"orbax_sharded_{name}")
+    )
+    def abstractify(x):
+        if not hasattr(x, "dtype"):
+            return x  # python scalars restore by value
+        return jax.ShapeDtypeStruct(
+            tuple(getattr(x, "shape", ())), x.dtype,
+            sharding=getattr(x, "sharding", None),
+        )
+
+    abstract = jax.tree.map(abstractify, target)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=abstract)
+
+
+# ---- rolling periodic checkpoints --------------------------------------------
+def save_train_state_rolling(snapshot_path: str, state, step: int,
+                             keep: int = 3,
+                             streaming_threshold: int = 1 << 30) -> str:
+    """Periodic resumable checkpoint with keep-last-N pruning: saves
+    `state_step_{step:08d}.msgpack` and points `state_last.msgpack` at
+    the same bytes (hardlink when possible); states at or above
+    `streaming_threshold` bytes use the overlapped-D2H streaming dialect
+    instead (`state_step_{step:08d}.stream/` + a `state_last.stream`
+    symlink) so periodic saves of the multi-GB flagship states run at
+    the concurrent-pull rate rather than the ~4 MB/s serial one. Older
+    step checkpoints beyond `keep` are deleted (both dialects). `keep=0`
+    keeps every step checkpoint (no pruning); negative values are
+    rejected. Capability addition over the reference (whose periodic
+    save is commented out, train_…unet_2D.py:214-218)."""
+    import shutil
+
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
+    model_dir = os.path.join(snapshot_path, "model")
+    state_bytes = sum(
+        int(np.prod(np.shape(x))) * getattr(x, "dtype", np.dtype("f4")).itemsize
+        for x in jax.tree.leaves(state)
+    )
+    last_msgpack = os.path.join(model_dir, "state_last.msgpack")
+    last_stream = os.path.join(model_dir, "state_last.stream")
+
+    def drop(p):
+        if os.path.islink(p):
+            os.remove(p)
+        elif os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    if state_bytes >= streaming_threshold:
+        path = save_train_state_streaming(
+            snapshot_path, state, name=f"step_{step:08d}"
+        )
+        drop(last_stream)
+        drop(last_msgpack)  # stale other-dialect pointer must not win
+        os.symlink(os.path.basename(path), last_stream)
+    else:
+        path = os.path.join(model_dir, f"state_step_{step:08d}.msgpack")
+        save_pytree(path, jax.device_get(state))
+        drop(last_msgpack)
+        drop(last_stream)
+        try:
+            os.link(path, last_msgpack)
+        except OSError:
+            shutil.copyfile(path, last_msgpack)
+    if keep > 0:
+        for old in list_step_checkpoints(snapshot_path)[:-keep]:
+            drop(old)
+    return path
+
+
+def _checkpoint_step_of(path: str) -> int:
+    import re
+
+    m = re.search(r"state_step_(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def list_step_checkpoints(snapshot_path: str) -> list:
-    """Step-numbered checkpoints, oldest first."""
+    """Step-numbered checkpoints (msgpack files and .stream dirs),
+    oldest first."""
     import glob
 
-    return sorted(
-        glob.glob(os.path.join(snapshot_path, "model", "state_step_*.msgpack"))
-    )
+    model_dir = os.path.join(snapshot_path, "model")
+    paths = glob.glob(os.path.join(model_dir, "state_step_*.msgpack"))
+    paths += glob.glob(os.path.join(model_dir, "state_step_*.stream"))
+    return sorted(paths, key=_checkpoint_step_of)
 
 
 def latest_checkpoint_step(snapshot_path: str) -> int:
     """Step of the newest rolling checkpoint, or -1 if none exist."""
     ckpts = list_step_checkpoints(snapshot_path)
-    if not ckpts:
-        return -1
-    name = os.path.basename(ckpts[-1])
-    return int(name[len("state_step_"):-len(".msgpack")])
+    return _checkpoint_step_of(ckpts[-1]) if ckpts else -1
 
 
 class AsyncStateSaver:

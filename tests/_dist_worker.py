@@ -52,7 +52,7 @@ def train_main(pid: int, snapshot_dir: str):
     """3 jitted icl_unet steps on a data2×model2 mesh (TP rules live,
     global batch assembled from per-host row blocks), then 2 more steps
     through Trainer.fit on the SAME mesh — exercising the process-0-only
-    snapshot gating and the spans-hosts final-save skip, while compiling
+    log gating and the collective sharded final save, while compiling
     only ONE program (this box has a single CPU core; a second jitted
     program would double the dominant cost). Emits per-step losses + a
     param checksum for the parent's single-process equivalence check."""
@@ -99,16 +99,25 @@ def train_main(pid: int, snapshot_dir: str):
         losses.append(float(metrics["loss"]))
 
     # fit() continues from state.step == 3 to max_iterations == 5 using
-    # the SAME compiled step; process 0 alone writes the snapshot, and
-    # the final save is skipped (model-sharded params span hosts)
+    # the SAME compiled step; process 0 alone writes logs/TB, and the
+    # final save is a COLLECTIVE sharded Orbax write (model-sharded
+    # params span hosts — every process stores its addressable shards)
     state = trainer.fit(
         state, multihost_batches(iter(make_train_batches(2, 4, 16)), mesh)
     )
+
+    # sharded restore round-trip: fresh differently-seeded state under
+    # the same mesh provides the target shardings; the restored params
+    # must checksum-match the trained ones on every process
+    state2 = trainer.init_state(jax.random.PRNGKey(1))
+    state2 = trainer.restore_state(state2)
     print(json.dumps({
         "pid": pid,
         "mode": "train",
         "losses": losses,
         "checksum": float(checksum_fn(state.params)),
+        "restored_checksum": float(checksum_fn(state2.params)),
+        "restored_step": int(jax.device_get(state2.step)),
         "fit_step": int(jax.device_get(state.step)),
         "snapshot": cfg.snapshot_path,
     }), flush=True)

@@ -100,3 +100,77 @@ def test_swinunetr_icl_sharded_step_matches_single_device():
     ):
         np.testing.assert_allclose(leaf(s1, *path), leaf(s2, *path),
                                    atol=5e-5, err_msg="/".join(path))
+
+
+def test_window_attention_tp_fused_pallas_matches_einsum(monkeypatch):
+    """tp>1 with the fused Pallas attention ACTIVE (GSPMD
+    custom_partitioning path, interpret mode on the CPU mesh) must match
+    the einsum run — the round-2 foot-gun (tp>1 + kernel) is now a
+    supported, tested combination. Module-level (the full train step in
+    interpret mode is prohibitively slow on CPU): the REAL
+    WindowAttention3D with its qkv Dense column-sharded and proj Dense
+    row-sharded over the model axis, batch over data — i.e. the exact
+    sharding the Megatron rules in parallel/mesh.py produce — value and
+    grads."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from icl_tpu.models.swinunetr import WindowAttention3D
+    from icl_tpu.ops import flags
+
+    ws, heads, C = (4, 4, 4), 2, 16
+    N = 64
+    nW, batch = 4, 2
+    B_ = batch * nW
+    mod = WindowAttention3D(dim=C, window_size=ws, num_heads=heads)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(B_, N, C)), jnp.float32)
+    region_ids = jnp.asarray(rng.integers(0, 3, size=(nW, N)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x, None, region_ids)
+
+    def loss(p, x):
+        out = mod.apply(p, x, None, region_ids)
+        return jnp.sum(out ** 2), out
+
+    # einsum reference (default flags on CPU), unsharded
+    (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(params, x)
+
+    # fused path on a dp2×tp2 mesh
+    monkeypatch.setenv("ICL_TPU_PALLAS", "1")
+    monkeypatch.setenv("ICL_TPU_PALLAS_INTERPRET", "1")
+    mesh = create_mesh(data=2, model=2)
+    old_n = flags.mesh_device_count()
+    flags.set_mesh_device_count(mesh.devices.size)
+    try:
+        def put(tree, path_specs):
+            flat = jax.tree_util.tree_map_with_path(
+                lambda kp, v: jax.device_put(
+                    v, NamedSharding(mesh, path_specs(
+                        "/".join(getattr(k, "key", str(k)) for k in kp), v))),
+                tree)
+            return flat
+
+        def spec_for(name, v):
+            if name.startswith("params/qkv/") and name.endswith("kernel"):
+                return P(None, "model")
+            if name.startswith("params/qkv/") and name.endswith("bias"):
+                return P("model")
+            if name.startswith("params/proj/") and name.endswith("kernel"):
+                return P("model", None)
+            return P()
+
+        sp = put(params, spec_for)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        (l2, o2), g2 = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(sp, xs)
+
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=3e-5, rtol=1e-5)
+        assert abs(float(l1) - float(l2)) < 1e-3 * max(1.0, abs(float(l1)))
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(g2))
+        for kp, v1 in flat1:
+            np.testing.assert_allclose(
+                np.asarray(flat2[kp]), np.asarray(v1), atol=5e-4, rtol=5e-4,
+                err_msg=str(kp))
+    finally:
+        flags.set_mesh_device_count(old_n)

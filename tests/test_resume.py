@@ -135,3 +135,59 @@ def test_streaming_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored["params"]["small"], got["params"]["small"])
     assert int(restored["step"]) == 42
     np.testing.assert_array_equal(restored["np_leaf"], got["np_leaf"])
+
+
+def test_rolling_streaming_dialect_and_mixed_pruning(tmp_path):
+    """Rolling checkpoints above the streaming threshold write .stream
+    dirs with a state_last.stream symlink; msgpack and stream steps
+    prune together and the 'last' pointer never goes stale across
+    dialect switches (round 3: periodic saves of multi-GB states use the
+    overlapped-D2H path)."""
+    import os
+
+    from icl_tpu.config import ExperimentConfig
+    from icl_tpu.train.trainer import Trainer
+    from icl_tpu.utils import checkpoint as ck
+
+    cfg = ExperimentConfig(
+        model="unet", patch_size=(16, 16), batch_size=4, max_iterations=100,
+        experiments_dir=str(tmp_path), exp="rollstream",
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    snap = cfg.snapshot_path
+
+    # below threshold -> msgpack; forced threshold 0 -> streaming
+    ck.save_train_state_rolling(snap, state, 10, keep=2)
+    ck.save_train_state_rolling(snap, state, 20, keep=2, streaming_threshold=0)
+    kept = [os.path.basename(p) for p in ck.list_step_checkpoints(snap)]
+    assert kept == ["state_step_00000010.msgpack", "state_step_00000020.stream"]
+    assert ck.latest_checkpoint_step(snap) == 20
+    # dialect switch repointed 'last': stream symlink exists, msgpack gone
+    model_dir = os.path.join(snap, "model")
+    assert os.path.islink(os.path.join(model_dir, "state_last.stream"))
+    assert not os.path.exists(os.path.join(model_dir, "state_last.msgpack"))
+
+    # restore via the symlinked stream 'last'
+    restored = tr.restore_state(tr.init_state(jax.random.PRNGKey(1)), name="last")
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(
+            restored.params["decoder"]["out_conv"]["Conv_0"]["kernel"])),
+        np.asarray(jax.device_get(
+            state.params["decoder"]["out_conv"]["Conv_0"]["kernel"])),
+    )
+
+    # two more streaming steps: keep=2 prunes the msgpack AND the oldest
+    # stream dir
+    ck.save_train_state_rolling(snap, state, 30, keep=2, streaming_threshold=0)
+    ck.save_train_state_rolling(snap, state, 40, keep=2, streaming_threshold=0)
+    kept = [os.path.basename(p) for p in ck.list_step_checkpoints(snap)]
+    assert kept == ["state_step_00000030.stream", "state_step_00000040.stream"]
+
+    # switching BACK to msgpack repoints 'last' and drops the stale
+    # stream symlink
+    ck.save_train_state_rolling(snap, state, 50, keep=2)
+    assert not os.path.lexists(os.path.join(model_dir, "state_last.stream"))
+    assert os.path.exists(os.path.join(model_dir, "state_last.msgpack"))
+    restored = tr.restore_state(tr.init_state(jax.random.PRNGKey(2)), name="last")
+    assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))

@@ -144,9 +144,14 @@ def test_two_process_training_matches_single_process(tmp_path):
     # (observed rel 2.4e-4 between the sharded and single-device runs)
     assert outs[0]["checksum"] == pytest.approx(checksum, rel=1e-3)
 
-    # process-0-only snapshot writes: the fit log exists (written by
-    # process 0) and records the spans-hosts final-save skip
+    # process-0-only log writes; the final save is a COLLECTIVE sharded
+    # Orbax checkpoint (round 3 — previously skipped with a notice), and
+    # the worker's restore round-trip reproduces the trained params
     snap = outs[0]["snapshot"]
     assert os.path.isfile(os.path.join(snap, "log.txt"))
     log = open(os.path.join(snap, "log.txt")).read()
-    assert "spans hosts" in log
+    assert "final sharded save (state spans hosts)" in log
+    assert os.path.isdir(os.path.join(snap, "model", "orbax_sharded_last"))
+    for o in outs:
+        assert o["restored_checksum"] == pytest.approx(o["checksum"], rel=1e-9)
+        assert o["restored_step"] == 5
