@@ -25,3 +25,15 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("ICL_TPU_PLATFORM"):
+    # Backend override honored even where a sitecustomize force-registers
+    # a TPU plugin and stomps JAX_PLATFORMS from the environment (this
+    # container does): jax.config wins over both as long as it runs
+    # before backend initialization. Lets CLI runs fall back to CPU when
+    # the chip/tunnel is unavailable: ICL_TPU_PLATFORM=cpu.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["ICL_TPU_PLATFORM"])

@@ -55,6 +55,13 @@ class ExperimentConfig:
 
     # TPU-native knobs
     precision: str = "float32"  # 'float32' (parity) | 'bfloat16' (perf)
+    # Multi-step fusion: lax.scan `scan_steps` train steps into ONE XLA
+    # program (one host dispatch per group — amortizes dispatch/tunnel
+    # latency; numerically identical to per-step dispatch because the
+    # per-step RNG is derived from state.step inside the program either
+    # way). fit() never scans across a validation/checkpoint boundary,
+    # so val/ckpt cadence is exact. 1 = per-step dispatch.
+    scan_steps: int = 1
     remat: bool = False  # rematerialize forward in backprop (memory/flops)
     # Gradient accumulation (the reference parses --accumulation-steps but
     # never uses it, net_factory.py:49-50; here it works via

@@ -124,6 +124,47 @@ class Trainer:
             self._step_fn = _fp32_step
         self.step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
 
+        # Auto-RNG step: derives the per-step key INSIDE the XLA program
+        # (fold the run's base key on state.step) so the host loop passes
+        # the same base-key buffer every step — zero per-step host-side
+        # RNG dispatches (a `jax.random.split` on the host is a full
+        # device roundtrip on high-latency runtimes). Also makes the RNG
+        # stream a pure function of (seed, step): resume at step k
+        # continues the exact stream, unlike host-split which restarts it.
+        def _auto_rng_step(state, batch, base_rng):
+            return self._step_fn(
+                state, batch, jax.random.fold_in(base_rng, state.step)
+            )
+
+        self.step_auto = jax.jit(_auto_rng_step, donate_argnums=(0,))
+        self._scan_cache: dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------
+    def scan_step(self, k: int) -> Callable:
+        """Jitted program running `k` consecutive train steps via
+        lax.scan — one host dispatch per k steps. Signature:
+        (state, const_batch, var_batches, base_rng) -> (state, metrics)
+        where `var_batches` leaves are stacked [k, ...] per-step inputs,
+        `const_batch` holds step-invariant arrays (e.g. the HBM-resident
+        image/label banks of data.device_bank), and metrics leaves come
+        back stacked [k]. Per-step RNG = fold_in(base_rng, state.step),
+        identical to step_auto's — scan(k) ≡ k dispatched steps."""
+        if k not in self._scan_cache:
+            step_fn = self._step_fn
+
+            def scan_fn(state, const_batch, var_batches, base_rng):
+                def body(st, vb):
+                    b = {**const_batch, **vb}
+                    st, m = step_fn(
+                        st, b, jax.random.fold_in(base_rng, st.step)
+                    )
+                    return st, m
+
+                return jax.lax.scan(body, state, var_batches)
+
+            self._scan_cache[k] = jax.jit(scan_fn, donate_argnums=(0,))
+        return self._scan_cache[k]
+
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array) -> TrainState:
         cfg = self.cfg
@@ -195,7 +236,7 @@ class Trainer:
 
             logger = _logging.getLogger("icl_tpu")
             writer = _NullWriter()
-        rng = jax.random.PRNGKey(cfg.seed)
+        base_rng = jax.random.PRNGKey(cfg.seed)
 
         if class_names is None:
             class_names = (
@@ -213,37 +254,90 @@ class Trainer:
 
         lr_sched = poly_lr_schedule(cfg.base_lr, cfg.max_iterations, cfg.poly_power)
 
-        for batch in train_batches:
-            rng, step_rng = jax.random.split(rng)
+        def to_device(batch):
             if "indices" in batch:
-                device_batch = dict(batch)
-                device_batch["indices"] = jnp.asarray(batch["indices"], jnp.int32)
-            elif isinstance(batch["image"], jax.Array):
-                device_batch = batch  # already device-put by the pipeline
-            else:
-                device_batch = {
-                    "image": jnp.asarray(batch["image"], jnp.float32),
-                    # stable dtypes keep compile-cache keys stable across
-                    # pipelines (uint8 labels would re-specialize)
-                    "label": jnp.asarray(batch["label"], jnp.int32),
-                }
-            state, metrics = self.step_jit(state, device_batch, step_rng)
-            # Keep exactly one step in flight: free-running dispatch with
-            # donated multi-GB states can collapse the allocator on this
-            # hardware (see bench.py); blocking costs ~0.1ms/step.
-            jax.block_until_ready(metrics["loss"])
-            iter_num += 1
+                db = dict(batch)
+                db["indices"] = jnp.asarray(batch["indices"], jnp.int32)
+                return db
+            if isinstance(batch["image"], jax.Array):
+                return batch  # already device-put by the pipeline
+            return {
+                "image": jnp.asarray(batch["image"], jnp.float32),
+                # stable dtypes keep compile-cache keys stable across
+                # pipelines (uint8 labels would re-specialize)
+                "label": jnp.asarray(batch["label"], jnp.int32),
+            }
 
-            if iter_num % cfg.log_interval == 0:
-                writer.add_scalar("Info/lr", float(lr_sched(iter_num - 1)), iter_num)
-                host_metrics = {k: float(v) for k, v in metrics.items()}
-                for tag, v in host_metrics.items():
-                    writer.add_scalar(f"Loss/{tag}", v, iter_num)
-                logger.info(
-                    "iteration %d : "
-                    + ", ".join(f"{k}: {v:f}" for k, v in host_metrics.items()),
-                    iter_num,
+        # step-invariant leaves under cfg.scan_steps>1 (HBM-resident
+        # dataset banks are the same arrays every step — scanning over
+        # them would K-fold copy them)
+        CONST_KEYS = ("image_bank", "label_bank")
+        scan_k = max(1, int(cfg.scan_steps))
+        if scan_k > 1 and jax.process_count() > 1:
+            # host-side jnp.stack can't build the [k, ...] leaves from
+            # non-addressable global arrays; per-step dispatch instead
+            logger.info("scan_steps>1 unsupported under multi-process; "
+                        "falling back to per-step dispatch")
+            scan_k = 1
+        batch_iter = iter(train_batches)
+
+        running = True
+        while running and iter_num < cfg.max_iterations:
+            # group size: never scan across a validation / checkpoint /
+            # end boundary, and clamp on val_interval on EVERY process
+            # (uniform dispatch count across processes under SPMD)
+            k = cfg.max_iterations - iter_num
+            if cfg.val_interval:
+                k = min(k, cfg.val_interval - iter_num % cfg.val_interval)
+            if cfg.checkpoint_interval:
+                k = min(
+                    k, cfg.checkpoint_interval - iter_num % cfg.checkpoint_interval
                 )
+            k = min(k, scan_k)
+            group = []
+            for _ in range(k):
+                try:
+                    group.append(to_device(next(batch_iter)))
+                except StopIteration:
+                    running = False
+                    break
+            if not group:
+                break
+            n = len(group)
+            if n == 1:
+                state, metrics = self.step_auto(state, group[0], base_rng)
+            else:
+                const = {c: group[0][c] for c in CONST_KEYS if c in group[0]}
+                var = [
+                    {c: v for c, v in g.items() if c not in const} for g in group
+                ]
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *var)
+                state, metrics = self.scan_step(n)(state, const, stacked, base_rng)
+            # Keep exactly one dispatch in flight: free-running dispatch
+            # with donated multi-GB states can collapse the allocator on
+            # this hardware (see bench.py); blocking costs ~0.1ms.
+            jax.block_until_ready(metrics["loss"])
+            base_iter = iter_num
+            iter_num += n
+
+            if any((base_iter + r + 1) % cfg.log_interval == 0 for r in range(n)):
+                host_rows = {k2: np.asarray(v) for k2, v in metrics.items()}
+                for r in range(n):
+                    it = base_iter + r + 1
+                    if it % cfg.log_interval:
+                        continue
+                    writer.add_scalar("Info/lr", float(lr_sched(it - 1)), it)
+                    host_metrics = {
+                        k2: float(v[r]) if n > 1 else float(v)
+                        for k2, v in host_rows.items()
+                    }
+                    for tag, v in host_metrics.items():
+                        writer.add_scalar(f"Loss/{tag}", v, it)
+                    logger.info(
+                        "iteration %d : "
+                        + ", ".join(f"{k2}: {v:f}" for k2, v in host_metrics.items()),
+                        it,
+                    )
 
             if (evaluate is not None and is_main
                     and iter_num % cfg.val_interval == 0):

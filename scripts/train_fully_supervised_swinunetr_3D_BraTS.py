@@ -40,6 +40,10 @@ def parse_args():
                    choices=["float32", "bfloat16"],
                    help="bfloat16 (default): fast MXU passes; float32 "
                         "parity mode needs >16G HBM at the 96^3 bs4 config")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
     p.add_argument("--ssl_ckpt", type=str, default="../pretrained_models/model_swinvit.pt")
     return p.parse_args()
 
@@ -54,7 +58,7 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
         remat=True,  # keep 3D Swin activations within HBM
-        precision=args.precision,
+        precision=args.precision, scan_steps=args.scan_steps,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train", num=cfg.labeled_num)
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")

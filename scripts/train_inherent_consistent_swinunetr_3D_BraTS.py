@@ -47,6 +47,10 @@ def parse_args():
                         "to the reference's TF32-on-A100 matmuls; float32 "
                         "parity mode needs >16G HBM at the 96^3 bs4 config "
                         "(measured 17.4G)")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
     p.add_argument("--use_ssl_pretrained", type=int, default=0)
     p.add_argument("--ssl_ckpt", type=str, default="../pretrained_models/model_swinvit.pt")
     return p.parse_args()
@@ -65,7 +69,7 @@ def main():
         # 844M params + 3D Swin activations exceed 16GB HBM without
         # gradient rematerialization
         remat=True,
-        precision=args.precision,
+        precision=args.precision, scan_steps=args.scan_steps,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train")
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")

@@ -45,6 +45,11 @@ def parse_args():
                         "the train step (~20x end-to-end on tunneled chips)")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch via "
+                        "lax.scan (numerically ≡ per-step dispatch; "
+                        "amortizes host dispatch latency — recommended 8 "
+                        "for perf runs)")
     # multi-process data parallelism (launch one process per host with
     # identical flags plus a distinct --process_id; env fallbacks
     # ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID):
@@ -73,6 +78,7 @@ def main():
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
         precision=args.precision,
+        scan_steps=args.scan_steps,
         device_augment=(args.input_mode == "device_bank"),
     )
     labeled_slice = patients_to_slices(cfg.root_path, cfg.labeled_num)

@@ -55,6 +55,10 @@ def parse_args():
                         "our float32 parity mode emulates f32 matmuls "
                         "with multi-pass bf16 and its temps push the "
                         "16-class 96^3 bs4 step past 16G HBM)")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
     p.add_argument("--remat", type=int, default=1,
                    help="rematerialize the forward in backprop")
     p.add_argument("--val_interval", type=int, default=1200)
@@ -72,7 +76,7 @@ def main():
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
         consis_weight=10.0, pse_weight=0.1,  # AMOS weighting (:230)
-        precision=args.precision, remat=bool(args.remat),
+        precision=args.precision, scan_steps=args.scan_steps, remat=bool(args.remat),
     )
     datalist = load_decathlon_datalist(args.split_path, "training")
     val_files = load_decathlon_datalist(args.split_path, "validation")[: args.val_num]

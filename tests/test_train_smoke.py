@@ -163,3 +163,78 @@ def test_eval_volume_shapes(synth_root):
     pred = predict(v, vol)
     assert pred.shape == vol.shape
     assert pred.max() <= 3
+
+
+def test_scan_step_matches_dispatched_steps(synth_root):
+    """cfg.scan_steps fusion contract: scan_step(k) over stacked batches
+    produces the SAME state as k individually dispatched step_auto calls
+    (per-step RNG = fold_in(base_rng, state.step) in both paths)."""
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=6, labeled_num=3,
+    )
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "image": jnp.asarray(rng.normal(size=(4, 16, 16, 1)), jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 4, size=(4, 16, 16)), jnp.int32),
+        }
+        for _ in range(6)
+    ]
+    base_rng = jax.random.PRNGKey(7)
+
+    state_a = tr.init_state(jax.random.PRNGKey(0))
+    losses_a = []
+    for b in batches:
+        state_a, m = tr.step_auto(state_a, b, base_rng)
+        losses_a.append(float(m["loss"]))
+    params_a = jax.device_get(state_a.params)
+
+    state_b = tr.init_state(jax.random.PRNGKey(0))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    state_b, m3 = tr.scan_step(3)(state_b, {}, jax.tree.map(lambda x: x[:3], stacked), base_rng)
+    state_b, m3b = tr.scan_step(3)(state_b, {}, jax.tree.map(lambda x: x[3:], stacked), base_rng)
+    losses_b = [float(v) for v in np.concatenate([m3["loss"], m3b["loss"]])]
+    params_b = jax.device_get(state_b.params)
+
+    assert int(jax.device_get(state_b.step)) == 6
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5, atol=1e-6)
+    for la, lb in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)
+
+
+def test_fit_scan_steps_equivalent(synth_root, tmp_path):
+    """fit() with cfg.scan_steps=4 ≡ scan_steps=1 on identical batch
+    streams (incl. an uneven boundary: 6 iters, group sizes 4+2), and
+    val/checkpoint cadence is preserved across scan groups."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    raw = [
+        {
+            "image": rng.normal(size=(4, 16, 16, 1)).astype(np.float32),
+            "label": rng.integers(0, 4, size=(4, 16, 16)).astype(np.int32),
+        }
+        for _ in range(6)
+    ]
+
+    def run(scan_steps, exp):
+        cfg = ExperimentConfig(
+            root_path=synth_root, model="unet", patch_size=(16, 16),
+            batch_size=4, labeled_bs=2, max_iterations=6, val_interval=100,
+            experiments_dir=str(tmp_path), exp=exp, labeled_num=3,
+            scan_steps=scan_steps, checkpoint_interval=0,
+        )
+        tr = Trainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state = tr.fit(state, iter(list(raw)))
+        return jax.device_get(state)
+
+    s1 = run(1, "scan1")
+    s4 = run(4, "scan4")
+    assert int(s1.step) == 6 and int(s4.step) == 6
+    for la, lb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)
