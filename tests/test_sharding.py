@@ -56,3 +56,57 @@ def test_icl_step_dp_tp():
     # params keep their sharding through the update
     mlp2_kernel = state2.params["sspa"]["class_decoder0"]["mlp2"]["fc1"]["Dense_0"]["kernel"]
     assert "model" in str(mlp2_kernel.sharding.spec)
+
+
+def test_scan_step_dp_tp_matches_per_step():
+    """cfg.scan_steps under a dp4×tp2 mesh: the scan-fused program on
+    sharded state + sharded stacked batches must match per-step dispatch
+    (params sharded over 'model' stay sharded through the scan).
+
+    2 steps only: the scanned and standalone programs schedule the mesh
+    collectives differently, giving ~1e-7 reduction-order noise per step
+    that this tiny random-data config amplifies ~1000×/step through the
+    dice-loss denominators from step 3 on (measured: 6e-8, 1.2e-7,
+    1.3e-4, 7.5e-4). Two steps keep the check tight (atol 1e-6) while
+    still catching wrong RNG streams / batch order / step counts, which
+    diverge at ≫1e-3. Longer equivalence runs live in
+    test_train_smoke.py where both paths compile identically."""
+    mesh = create_mesh(data=4, model=2)
+    cfg = ExperimentConfig(model="icl_unet", patch_size=(16, 16), batch_size=8,
+                           labeled_bs=4, max_iterations=10)
+    tr = Trainer(cfg, mesh=mesh)
+    rng = np.random.default_rng(3)
+    batches = [
+        {
+            "image": jax.device_put(
+                rng.normal(size=(8, 16, 16, 1)).astype(np.float32),
+                batch_sharding(mesh),
+            ),
+            "label": jax.device_put(
+                rng.integers(0, 4, size=(8, 16, 16)).astype(np.int32),
+                batch_sharding(mesh),
+            ),
+        }
+        for _ in range(2)
+    ]
+    base_rng = jax.random.PRNGKey(11)
+
+    state_a = tr.init_state(jax.random.PRNGKey(0))
+    for b in batches:
+        state_a, ma = tr.step_auto(state_a, b, base_rng)
+
+    state_b = tr.init_state(jax.random.PRNGKey(0))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    state_b, mb = tr.scan_step(2)(state_b, {}, stacked, base_rng)
+
+    assert int(jax.device_get(state_b.step)) == 2
+    mlp2 = state_b.params["sspa"]["class_decoder0"]["mlp2"]["fc1"]["Dense_0"]["kernel"]
+    assert "model" in str(mlp2.sharding.spec)
+    np.testing.assert_allclose(
+        float(ma["loss"]), float(jax.device_get(mb["loss"])[-1]), rtol=1e-5
+    )
+    for la, lb in zip(
+        jax.tree.leaves(jax.device_get(state_a.params)),
+        jax.tree.leaves(jax.device_get(state_b.params)),
+    ):
+        np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)

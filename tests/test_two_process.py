@@ -60,7 +60,7 @@ def test_two_process_gather_matches_single_process():
         assert o["gathered"] == expected, o["gathered"]
 
 
-@pytest.mark.timeout(600)
+@pytest.mark.timeout(900)
 def test_two_process_training_matches_single_process(tmp_path):
     """VERDICT r2 item 2: REAL jitted icl_unet train steps across two
     jax.distributed processes (data2×model2 mesh — TP rules active,
@@ -81,7 +81,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=540)
+        out, err = p.communicate(timeout=840)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         start = out.index('{"pid"')
         outs.append(json.JSONDecoder().raw_decode(out[start:])[0])
