@@ -41,11 +41,18 @@ class CTATrainer:
                                  class_num=cfg.num_classes)
         self.tx = make_sgd(cfg.base_lr, cfg.max_iterations, cfg.momentum,
                            cfg.weight_decay, cfg.poly_power)
-        self.step_jit = jax.jit(
-            make_fixmatch_cta_step(self.model, self.tx, cfg.num_classes,
-                                   cfg.labeled_bs, conf_thresh, unsup_weight),
-            donate_argnums=(0,),
-        )
+        step_fn = make_fixmatch_cta_step(self.model, self.tx, cfg.num_classes,
+                                         cfg.labeled_bs, conf_thresh,
+                                         unsup_weight)
+        self.step_jit = jax.jit(step_fn, donate_argnums=(0,))
+
+        # per-step key derived ON DEVICE from state.step (same pattern as
+        # Trainer.step_auto): the control loop passes the constant base
+        # key every step — no per-step host-side split/fold_in dispatch
+        def _auto_rng_step(state, batch, base_rng):
+            return step_fn(state, batch, jax.random.fold_in(base_rng, state.step))
+
+        self.step_auto = jax.jit(_auto_rng_step, donate_argnums=(0,))
 
         @jax.jit
         def _probe_probs(variables, x):
@@ -109,8 +116,7 @@ class CTATrainer:
                 "image_strong": jnp.asarray(batch["image_strong"]),
                 "label_aug": jnp.asarray(batch["label_aug"], jnp.int32),
             }
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = self.step_jit(state, device_batch, step_rng)
+            state, metrics = self.step_auto(state, device_batch, rng)
             # probe AFTER the step, against the updated params (the rate
             # measures how well the current model handles the distortion)
             proximity = self.probe_proximity(state, probe_image, probe_label)
