@@ -238,3 +238,39 @@ def test_fit_scan_steps_equivalent(synth_root, tmp_path):
     assert int(s1.step) == 6 and int(s4.step) == 6
     for la, lb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
         np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)
+
+
+def test_fit_scan_steps_device_bank_equivalent(synth_root, tmp_path):
+    """The flagship perf config: cfg.scan_steps + device_bank input
+    (HBM-resident image/label banks are step-invariant CONST leaves —
+    only the [k, 16] int32 index stacks scan). scan_steps=3 ≡ 1."""
+    import jax.numpy as jnp
+
+    from icl_tpu.data.device_bank import build_acdc_bank
+    from icl_tpu.data.acdc import ACDCDataset
+
+    ds = ACDCDataset(synth_root, "train")
+    img_bank, lab_bank = build_acdc_bank(ds, canon_size=16)
+    rng = np.random.default_rng(5)
+    idx_batches = [rng.integers(0, len(ds), size=4).astype(np.int32)
+                   for _ in range(6)]
+
+    def run(scan_steps, exp):
+        cfg = ExperimentConfig(
+            root_path=synth_root, model="unet", patch_size=(16, 16),
+            batch_size=4, labeled_bs=2, max_iterations=6, val_interval=100,
+            experiments_dir=str(tmp_path), exp=exp, labeled_num=3,
+            scan_steps=scan_steps, checkpoint_interval=0, device_augment=True,
+        )
+        tr = Trainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        batches = ({"image_bank": img_bank, "label_bank": lab_bank,
+                    "indices": idx} for idx in idx_batches)
+        state = tr.fit(state, batches)
+        return jax.device_get(state)
+
+    s1 = run(1, "bank_scan1")
+    s3 = run(3, "bank_scan3")
+    assert int(s1.step) == 6 and int(s3.step) == 6
+    for la, lb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)
