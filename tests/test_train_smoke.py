@@ -274,3 +274,35 @@ def test_fit_scan_steps_device_bank_equivalent(synth_root, tmp_path):
     assert int(s1.step) == 6 and int(s3.step) == 6
     for la, lb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
         np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)
+
+
+def test_fit_scan_steps_checkpoint_boundary(synth_root, tmp_path):
+    """Rolling checkpoints must land on EXACT checkpoint_interval
+    multiples even when scan_steps doesn't divide them (scan_steps=4,
+    interval=3 → group sizes 3,1,2): fit() clamps each scan group at the
+    boundary instead of overshooting it."""
+    import jax.numpy as jnp
+
+    from icl_tpu.utils.checkpoint import _checkpoint_step_of, list_step_checkpoints
+
+    rng = np.random.default_rng(2)
+    raw = [
+        {
+            "image": rng.normal(size=(4, 16, 16, 1)).astype(np.float32),
+            "label": rng.integers(0, 4, size=(4, 16, 16)).astype(np.int32),
+        }
+        for _ in range(6)
+    ]
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16),
+        batch_size=4, labeled_bs=2, max_iterations=6, val_interval=100,
+        experiments_dir=str(tmp_path), exp="scan_ckpt", labeled_num=3,
+        scan_steps=4, checkpoint_interval=3, keep_checkpoints=5,
+    )
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state = tr.fit(state, iter(raw))
+    assert int(jax.device_get(state.step)) == 6
+    steps = [_checkpoint_step_of(p)
+             for p in list_step_checkpoints(cfg.snapshot_path)]
+    assert steps == [3, 6], steps
