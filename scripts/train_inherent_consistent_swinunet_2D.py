@@ -41,11 +41,29 @@ def parse_args():
     p.add_argument("--labeled_bs", type=int, default=8)
     p.add_argument("--val_interval", type=int, default=200)
     p.add_argument("--pretrained_ckpt", type=str, default=None)
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
+    # multi-process data parallelism (same contract as the UNet flagship
+    # CLI: one process per host, identical flags + distinct --process_id;
+    # env fallbacks ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)
+    p.add_argument("--dist_coordinator", type=str, default=None,
+                   help="host:port of process 0 (jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from icl_tpu.parallel.multihost import initialize_from_args
+
+    pid, pcount = initialize_from_args(
+        args.dist_coordinator, args.num_processes, args.process_id
+    )
     cfg = ExperimentConfig(
         root_path=args.root_path, exp=args.exp, model=args.model,
         num_classes=args.num_classes, max_iterations=args.max_iterations,
@@ -54,12 +72,18 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
+        precision=args.precision, scan_steps=args.scan_steps,
     )
     labeled_slice = patients_to_slices(cfg.root_path, cfg.labeled_num)
     train_ds = ACDCDataset(cfg.root_path, "train")
     val_ds = ACDCDataset(cfg.root_path, "val_test")
 
-    trainer = Trainer(cfg)
+    mesh = None
+    if pcount > 1:
+        from icl_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()  # data axis over every device on every host
+    trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
 
     if args.pretrained_ckpt:
@@ -67,12 +91,16 @@ def main():
 
         state = load_pretrained_swinunet(state, args.pretrained_ckpt)
 
-    batches = Prefetcher(
-        acdc_train_batches(
-            train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
-            cfg.patch_size, seed=cfg.seed,
-        )
+    global_batches = acdc_train_batches(
+        train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
+        cfg.patch_size, seed=cfg.seed,
     )
+    if pcount > 1:
+        from icl_tpu.parallel.multihost import multihost_batches
+
+        batches = multihost_batches(global_batches, mesh)
+    else:
+        batches = Prefetcher(global_batches)
     predict = make_slice_predictor(trainer.model, cfg.patch_size)
 
     def evaluate(variables):

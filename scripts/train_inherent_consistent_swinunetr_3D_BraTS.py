@@ -53,11 +53,23 @@ def parse_args():
                         "per-step dispatch)")
     p.add_argument("--use_ssl_pretrained", type=int, default=0)
     p.add_argument("--ssl_ckpt", type=str, default="../pretrained_models/model_swinvit.pt")
+    # multi-process data parallelism (same contract as the 2D flagship
+    # CLI: one process per host, identical flags + distinct --process_id;
+    # env fallbacks ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)
+    p.add_argument("--dist_coordinator", type=str, default=None,
+                   help="host:port of process 0 (jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from icl_tpu.parallel.multihost import initialize_from_args
+
+    pid, pcount = initialize_from_args(
+        args.dist_coordinator, args.num_processes, args.process_id
+    )
     cfg = ExperimentConfig(
         root_path=args.root_path, exp=args.exp, model=args.model,
         num_classes=args.num_classes, max_iterations=args.max_iterations,
@@ -74,19 +86,28 @@ def main():
     train_ds = BraTS2019Dataset(cfg.root_path, "train")
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")
 
-    trainer = Trainer(cfg)
+    mesh = None
+    if pcount > 1:
+        from icl_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()  # data axis over every device on every host
+    trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     if args.use_ssl_pretrained:
         from icl_tpu.utils.torch_import import load_pretrained_swinvit
 
         state = load_pretrained_swinvit(state, args.ssl_ckpt)
 
-    batches = Prefetcher(
-        brats_train_batches(
-            train_ds, cfg.labeled_num, args.total_num, cfg.batch_size,
-            cfg.labeled_bs, cfg.patch_size, seed=cfg.seed,
-        )
+    global_batches = brats_train_batches(
+        train_ds, cfg.labeled_num, args.total_num, cfg.batch_size,
+        cfg.labeled_bs, cfg.patch_size, seed=cfg.seed,
     )
+    if pcount > 1:
+        from icl_tpu.parallel.multihost import multihost_batches
+
+        batches = multihost_batches(global_batches, mesh)
+    else:
+        batches = Prefetcher(global_batches)
     probs_fn = make_patch_predictor(trainer.model, cfg.patch_size, sw_batch=4)
 
     def evaluate(variables):

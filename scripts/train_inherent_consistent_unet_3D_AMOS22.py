@@ -62,11 +62,23 @@ def parse_args():
     p.add_argument("--remat", type=int, default=1,
                    help="rematerialize the forward in backprop")
     p.add_argument("--val_interval", type=int, default=1200)
+    # multi-process data parallelism (same contract as the 2D flagship
+    # CLI: one process per host, identical flags + distinct --process_id;
+    # env fallbacks ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)
+    p.add_argument("--dist_coordinator", type=str, default=None,
+                   help="host:port of process 0 (jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from icl_tpu.parallel.multihost import initialize_from_args
+
+    pid, pcount = initialize_from_args(
+        args.dist_coordinator, args.num_processes, args.process_id
+    )
     cfg = ExperimentConfig(
         root_path=args.root_path, exp=args.exp, model=args.model,
         num_classes=args.num_classes, max_iterations=args.max_iterations,
@@ -83,14 +95,23 @@ def main():
     train_ds = AMOSDataset(datalist)
     val_ds = AMOSDataset(val_files, val_mode=True)
 
-    trainer = Trainer(cfg)
+    mesh = None
+    if pcount > 1:
+        from icl_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()  # data axis over every device on every host
+    trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    batches = Prefetcher(
-        amos_train_batches(
-            train_ds, cfg.labeled_num, args.total_num, cfg.batch_size,
-            cfg.labeled_bs, cfg.patch_size, seed=cfg.seed,
-        )
+    global_batches = amos_train_batches(
+        train_ds, cfg.labeled_num, args.total_num, cfg.batch_size,
+        cfg.labeled_bs, cfg.patch_size, seed=cfg.seed,
     )
+    if pcount > 1:
+        from icl_tpu.parallel.multihost import multihost_batches
+
+        batches = multihost_batches(global_batches, mesh)
+    else:
+        batches = Prefetcher(global_batches)
     # AMOS protocol: bf16 inference (≙ AMP autocast), logits stitching
     scores_fn = make_patch_predictor(
         trainer.model, cfg.patch_size, sw_batch=4, apply_softmax=False,
