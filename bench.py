@@ -31,7 +31,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 
-def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0):
+def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
+                eval_2d: bool = False):
     """Compile + warmup one jitted train step, then `steps` blocked
     per-step timings. Returns dict with p10/p50/p90 (ms), steps/s (p50),
     and the XLA-reported FLOPs/step when available.
@@ -128,6 +129,29 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0)
             out[f"scan{scan_k}_steps_per_sec_p50"] = round(scan_k / gp50, 3)
         except Exception as e:  # pragma: no cover - device-specific
             out[f"scan{scan_k}_error"] = f"{type(e).__name__}: {e}"[:200]
+    if eval_2d and os.environ.get("ICL_TPU_BENCH_EVAL", "1") != "0":
+        # Serving path: the reference's per-slice cuda round-trip loop
+        # (val_2D.py:35-55) becomes ONE jitted batched program per
+        # 32-slice bucket. End-to-end predict() timing incl. the host
+        # zoom in/out (the full eval protocol).
+        try:
+            from icl_tpu.eval.infer2d import make_slice_predictor
+
+            predict = make_slice_predictor(trainer.model, cfg.patch_size)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            vol = rng.normal(
+                size=(64, *cfg.patch_size)).astype(np.float32)
+            predict(variables, vol)  # compile + warmup
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                predict(variables, vol)
+                times.append(time.perf_counter() - t0)
+            ep50 = float(np.percentile(times, 50))
+            out["eval_slices_per_sec_p50"] = round(64 / ep50, 1)
+        except Exception as e:  # pragma: no cover - device-specific
+            out["eval_error"] = f"{type(e).__name__}: {e}"[:200]
     # release donated buffers before the next family compiles
     try:
         jax.block_until_ready(state)
@@ -158,7 +182,8 @@ def main():
     # oscillates between ~4ms phases and >100ms stall spikes).
     SCAN_K = int(os.environ.get("ICL_TPU_BENCH_SCAN", "8"))
     flagship = time_family(
-        cfg, (batch_size, patch, patch, 1), 4, steps=150, scan_k=SCAN_K
+        cfg, (batch_size, patch, patch, 1), 4, steps=150, scan_k=SCAN_K,
+        eval_2d=True,
     )
     p10, p50, p90 = (flagship[k] / 1e3 for k in ("p10_ms", "p50_ms", "p90_ms"))
     scan_key = f"scan{SCAN_K}_steps_per_sec_p50"
