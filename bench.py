@@ -32,7 +32,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 
 def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
-                eval_2d: bool = False):
+                eval_2d: bool = False, eval_3d: bool = False):
     """Compile + warmup one jitted train step, then `steps` blocked
     per-step timings. Returns dict with p10/p50/p90 (ms), steps/s (p50),
     and the XLA-reported FLOPs/step when available.
@@ -152,6 +152,29 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
             out["eval_slices_per_sec_p50"] = round(64 / ep50, 1)
         except Exception as e:  # pragma: no cover - device-specific
             out["eval_error"] = f"{type(e).__name__}: {e}"[:200]
+    if eval_3d and os.environ.get("ICL_TPU_BENCH_EVAL", "1") != "0":
+        # 3D serving path: the reference's per-patch cuda loop
+        # (val_3D.py:50-73) becomes ONE fused XLA program (gather →
+        # chunked forward → scatter-add stitch → argmax). BraTS-protocol
+        # volume (~144³ brain crop), stride 64.
+        try:
+            from icl_tpu.eval.infer3d import make_fused_sliding_window
+
+            predict = make_fused_sliding_window(
+                trainer.model, num_classes, cfg.patch_size, sw_batch=4,
+            )
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            vol = rng.normal(size=(144, 144, 144)).astype(np.float32)
+            predict(variables, vol)  # compile + warmup
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                predict(variables, vol)
+                times.append(time.perf_counter() - t0)
+            out["eval_vol144_sec_p50"] = round(float(np.percentile(times, 50)), 3)
+        except Exception as e:  # pragma: no cover - device-specific
+            out["eval_error"] = f"{type(e).__name__}: {e}"[:200]
     # release donated buffers before the next family compiles
     try:
         jax.block_until_ready(state)
@@ -216,7 +239,7 @@ def main():
             consis_weight=10.0, remat=True, precision="bfloat16",
         )
         families["swinunetr_icl_brats"] = time_family(
-            swin3d_cfg, (4, 96, 96, 96, 1), 2, steps=50)
+            swin3d_cfg, (4, 96, 96, 96, 1), 2, steps=50, eval_3d=True)
 
     STAT = "p50"
     baseline = None

@@ -27,3 +27,31 @@ def test_time_family_keys_tiny_cpu():
     # flops key is optional (backend-dependent) but must be numeric if set
     if "xla_cost_flops_per_step" in out:
         assert np.isfinite(out["xla_cost_flops_per_step"])
+
+
+def test_time_family_eval3d_tiny_cpu(monkeypatch):
+    import bench
+
+    # shrink the 3D serving volume so the fused sliding window runs in
+    # seconds on CPU (the chip bench uses the real 144³ BraTS crop)
+    import icl_tpu.eval.infer3d as infer3d
+
+    cfg = ExperimentConfig(
+        model="unet_3D", patch_size=(16, 16, 16), batch_size=2,
+        labeled_bs=1, num_classes=2, max_iterations=100,
+    )
+    real_make = infer3d.make_fused_sliding_window
+
+    def small_vol_make(model, num_classes, patch_size, sw_batch=4):
+        predict = real_make(model, num_classes, patch_size, sw_batch=sw_batch)
+
+        def predict_small(variables, image, stride_xy=8, stride_z=8):
+            return predict(variables, image[:24, :24, :24],
+                           stride_xy=8, stride_z=8, bucket=8)
+
+        return predict_small
+
+    monkeypatch.setattr(infer3d, "make_fused_sliding_window", small_vol_make)
+    out = bench.time_family(cfg, (2, 16, 16, 16, 1), 2, steps=4, eval_3d=True)
+    assert "eval_error" not in out, out.get("eval_error")
+    assert out["eval_vol144_sec_p50"] > 0
