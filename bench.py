@@ -184,8 +184,43 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
     return out
 
 
+def _arm_watchdog(timeout_s: float, note: str):
+    """The axon tunnel can hang indefinitely (observed: jax.devices()
+    blocking for hours in round 3). A hung bench costs the round its
+    BENCH artifact entirely — fire an HONEST zero-value JSON line with
+    the error note instead, then hard-exit."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "acdc_icl_unet_train_slices_per_sec",
+            "value": 0.0,
+            "unit": "slices/sec",
+            "vs_baseline": 0.0,
+            "error": note,
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from icl_tpu.config import ExperimentConfig
+
+    # Phase 1 watchdog: device discovery. Phase 2: the whole run
+    # (compiles of the 1.1B-param programs are minutes cold, plus 4
+    # families — generous bound, only guards against an infinite hang).
+    wd = _arm_watchdog(
+        float(os.environ.get("ICL_TPU_BENCH_DEVICE_TIMEOUT", "600")),
+        "device discovery hung (tunnel unreachable)")
+    jax.devices()
+    wd.cancel()
+    wd = _arm_watchdog(
+        float(os.environ.get("ICL_TPU_BENCH_TOTAL_TIMEOUT", "7200")),
+        "bench exceeded total timeout (device stalled mid-run)")
 
     batch_size, labeled_bs, patch = 16, 8, 256
     cfg = ExperimentConfig(

@@ -29,6 +29,27 @@ def test_time_family_keys_tiny_cpu():
         assert np.isfinite(out["xla_cost_flops_per_step"])
 
 
+def test_watchdog_emits_contract_json_and_exits():
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import time\n"
+        "import bench\n"
+        "bench._arm_watchdog(0.2, 'unit-test hang')\n"
+        "time.sleep(10)\n"
+    ) % "/root/repo"
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=60)
+    assert r.returncode == 2
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["value"] == 0.0 and rec["error"] == "unit-test hang"
+    assert rec["metric"] == "acdc_icl_unet_train_slices_per_sec"
+
+
 def test_time_family_eval3d_tiny_cpu(monkeypatch):
     import bench
 
