@@ -33,6 +33,12 @@ def parse_args():
     p.add_argument("--labeled_num", type=int, default=7)
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--val_interval", type=int, default=200)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--pretrained_ckpt", type=str, default=None)
     return p.parse_args()
 
@@ -46,6 +52,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
+        precision=args.precision, scan_steps=args.scan_steps,
     )
     labeled_slice = patients_to_slices(cfg.root_path, cfg.labeled_num)
     train_ds = ACDCDataset(cfg.root_path, "train", num=labeled_slice)

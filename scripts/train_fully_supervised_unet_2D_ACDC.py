@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--labeled_num", type=int, default=7)
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--val_interval", type=int, default=200)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     return p.parse_args()
 
 
@@ -48,6 +54,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         deterministic=args.deterministic, val_interval=args.val_interval,
+        precision=args.precision, scan_steps=args.scan_steps,
     )
     # Labeled-only training: dataset truncated to the labeled prefix
     # (train_fully_supervised_unet_2D_ACDC.py:72-74).

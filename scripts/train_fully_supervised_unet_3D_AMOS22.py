@@ -42,6 +42,12 @@ def parse_args():
     p.add_argument("--val_num", type=int, default=30)
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--val_interval", type=int, default=1200)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     return p.parse_args()
 
 
@@ -54,6 +60,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
+        precision=args.precision, scan_steps=args.scan_steps,
         seg_weight=0.5,  # loss = 0.5·(CE+Dice) (…AMOS22.py:198)
     )
     datalist = load_decathlon_datalist(args.split_path, "training")

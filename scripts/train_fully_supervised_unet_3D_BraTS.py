@@ -37,6 +37,12 @@ def parse_args():
     p.add_argument("--labeled_num", type=int, default=25)
     p.add_argument("--num_tries", type=str, default="1")
     p.add_argument("--val_interval", type=int, default=200)
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fuse N train steps into one XLA dispatch "
+                        "via lax.scan (numerically equivalent to "
+                        "per-step dispatch)")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     return p.parse_args()
 
 
@@ -49,6 +55,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         deterministic=args.deterministic, val_interval=args.val_interval,
+        precision=args.precision, scan_steps=args.scan_steps,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train", num=cfg.labeled_num)
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")
