@@ -125,3 +125,19 @@ def make_global_array(local_batch: dict, mesh, spec=None):
         k: jax.make_array_from_process_local_data(sharding, v)
         for k, v in local_batch.items()
     }
+
+
+def launch_batches(global_batches: Iterator[dict], process_count: int):
+    """The CLI launch contract in one place (every train script uses
+    this): under multi-process, a data-axis mesh over every device on
+    every host + `multihost_batches`; single-process, no mesh and a
+    threaded `Prefetcher`. Returns (mesh_or_None, batch_iterator) —
+    pass the mesh to `Trainer(cfg, mesh=mesh)`."""
+    if process_count > 1:
+        from icl_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        return mesh, multihost_batches(global_batches, mesh)
+    from icl_tpu.data.pipeline import Prefetcher
+
+    return None, Prefetcher(global_batches)

@@ -29,7 +29,7 @@ from icl_tpu.data.ctaugment import CTAugment
 from icl_tpu.models.registry import net_factory
 from icl_tpu.train.optim import make_sgd
 from icl_tpu.train.state import TrainState
-from icl_tpu.train.steps import make_fixmatch_cta_step
+from icl_tpu.train.steps import make_auto_rng_step, make_fixmatch_cta_step
 
 
 class CTATrainer:
@@ -45,14 +45,9 @@ class CTATrainer:
                                          cfg.labeled_bs, conf_thresh,
                                          unsup_weight)
         self.step_jit = jax.jit(step_fn, donate_argnums=(0,))
-
-        # per-step key derived ON DEVICE from state.step (same pattern as
-        # Trainer.step_auto): the control loop passes the constant base
-        # key every step — no per-step host-side split/fold_in dispatch
-        def _auto_rng_step(state, batch, base_rng):
-            return step_fn(state, batch, jax.random.fold_in(base_rng, state.step))
-
-        self.step_auto = jax.jit(_auto_rng_step, donate_argnums=(0,))
+        # per-step key derived ON DEVICE from (base key, state.step) —
+        # shared derivation with Trainer (steps.make_auto_rng_step)
+        self.step_auto = make_auto_rng_step(step_fn)
 
         @jax.jit
         def _probe_probs(variables, x):

@@ -216,3 +216,20 @@ def make_fixmatch_cta_step(
         )
 
     return step
+
+
+def make_auto_rng_step(step_fn: Callable) -> Callable:
+    """Wrap a (state, batch, rng) train step so the per-step key is
+    derived ON DEVICE as fold_in(base_rng, state.step): the host loop
+    passes the same base-key buffer every step (zero per-step host-side
+    RNG dispatches — a host `split`/`fold_in` is a device roundtrip on
+    high-latency runtimes), and the RNG stream is a pure function of
+    (seed, step), so resume at step k continues the exact stream.
+    Trainer.step_auto, Trainer.scan_step's body, and CTATrainer all
+    derive keys this way — that shared derivation is what makes
+    scan(k) ≡ k dispatched steps."""
+
+    def _auto_rng_step(state, batch, base_rng):
+        return step_fn(state, batch, jax.random.fold_in(base_rng, state.step))
+
+    return jax.jit(_auto_rng_step, donate_argnums=(0,))

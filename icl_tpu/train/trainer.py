@@ -18,7 +18,11 @@ from icl_tpu.config import ExperimentConfig
 from icl_tpu.models.registry import net_factory
 from icl_tpu.train.optim import make_sgd
 from icl_tpu.train.state import TrainState
-from icl_tpu.train.steps import make_icl_step, make_supervised_step
+from icl_tpu.train.steps import (
+    make_auto_rng_step,
+    make_icl_step,
+    make_supervised_step,
+)
 from icl_tpu.utils import checkpoint as ckpt
 from icl_tpu.utils.logging_utils import ScalarWriter, setup_logging
 
@@ -124,19 +128,9 @@ class Trainer:
             self._step_fn = _fp32_step
         self.step_jit = jax.jit(self._step_fn, donate_argnums=(0,))
 
-        # Auto-RNG step: derives the per-step key INSIDE the XLA program
-        # (fold the run's base key on state.step) so the host loop passes
-        # the same base-key buffer every step — zero per-step host-side
-        # RNG dispatches (a `jax.random.split` on the host is a full
-        # device roundtrip on high-latency runtimes). Also makes the RNG
-        # stream a pure function of (seed, step): resume at step k
-        # continues the exact stream, unlike host-split which restarts it.
-        def _auto_rng_step(state, batch, base_rng):
-            return self._step_fn(
-                state, batch, jax.random.fold_in(base_rng, state.step)
-            )
-
-        self.step_auto = jax.jit(_auto_rng_step, donate_argnums=(0,))
+        # Auto-RNG step: per-step key derived INSIDE the XLA program
+        # from (base key, state.step) — see steps.make_auto_rng_step
+        self.step_auto = make_auto_rng_step(self._step_fn)
         self._scan_cache: dict[int, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -308,6 +302,13 @@ class Trainer:
                 state, metrics = self.step_auto(state, group[0], base_rng)
             else:
                 const = {c: group[0][c] for c in CONST_KEYS if c in group[0]}
+                # the const leaves must be literally step-invariant — a
+                # pipeline that rebuilds its banks per batch would train
+                # steps 2..k on batch 0's stale bank without this check
+                assert all(g[c] is const[c] for g in group for c in const), (
+                    "scan_steps>1 requires identical bank arrays across "
+                    "the group (data.device_bank contract)"
+                )
                 var = [
                     {c: v for c, v in g.items() if c not in const} for g in group
                 ]
@@ -395,9 +396,6 @@ class Trainer:
                     snapshot, state, iter_num, keep=cfg.keep_checkpoints
                 )
                 logger.info("periodic checkpoint at iter %d -> %s", iter_num, path)
-
-            if iter_num >= cfg.max_iterations:
-                break
 
         elapsed = time.perf_counter() - t_start
         logger.info(

@@ -19,7 +19,7 @@ import jax
 
 from icl_tpu.config import ExperimentConfig
 from icl_tpu.data.acdc import ACDCDataset, patients_to_slices
-from icl_tpu.data.pipeline import Prefetcher, acdc_train_batches
+from icl_tpu.data.pipeline import acdc_train_batches
 from icl_tpu.eval.infer2d import evaluate_acdc_volumes, make_slice_predictor
 from icl_tpu.train.trainer import Trainer
 
@@ -59,7 +59,7 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from icl_tpu.parallel.multihost import initialize_from_args
+    from icl_tpu.parallel.multihost import initialize_from_args, launch_batches
 
     pid, pcount = initialize_from_args(
         args.dist_coordinator, args.num_processes, args.process_id
@@ -78,11 +78,11 @@ def main():
     train_ds = ACDCDataset(cfg.root_path, "train")
     val_ds = ACDCDataset(cfg.root_path, "val_test")
 
-    mesh = None
-    if pcount > 1:
-        from icl_tpu.parallel.mesh import create_mesh
-
-        mesh = create_mesh()  # data axis over every device on every host
+    global_batches = acdc_train_batches(
+        train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
+        cfg.patch_size, seed=cfg.seed,
+    )
+    mesh, batches = launch_batches(global_batches, pcount)
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
 
@@ -91,16 +91,6 @@ def main():
 
         state = load_pretrained_swinunet(state, args.pretrained_ckpt)
 
-    global_batches = acdc_train_batches(
-        train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
-        cfg.patch_size, seed=cfg.seed,
-    )
-    if pcount > 1:
-        from icl_tpu.parallel.multihost import multihost_batches
-
-        batches = multihost_batches(global_batches, mesh)
-    else:
-        batches = Prefetcher(global_batches)
     predict = make_slice_predictor(trainer.model, cfg.patch_size)
 
     def evaluate(variables):

@@ -18,7 +18,6 @@ import jax
 
 from icl_tpu.config import ExperimentConfig
 from icl_tpu.data.brats import BraTS2019Dataset, brats_train_batches
-from icl_tpu.data.pipeline import Prefetcher
 from icl_tpu.eval.infer3d import evaluate_brats_cases, make_patch_predictor
 from icl_tpu.metrics import aggregate_case_metrics
 from icl_tpu.train.trainer import Trainer
@@ -65,7 +64,7 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from icl_tpu.parallel.multihost import initialize_from_args
+    from icl_tpu.parallel.multihost import initialize_from_args, launch_batches
 
     pid, pcount = initialize_from_args(
         args.dist_coordinator, args.num_processes, args.process_id
@@ -86,11 +85,11 @@ def main():
     train_ds = BraTS2019Dataset(cfg.root_path, "train")
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")
 
-    mesh = None
-    if pcount > 1:
-        from icl_tpu.parallel.mesh import create_mesh
-
-        mesh = create_mesh()  # data axis over every device on every host
+    global_batches = brats_train_batches(
+        train_ds, cfg.labeled_num, args.total_num, cfg.batch_size,
+        cfg.labeled_bs, cfg.patch_size, seed=cfg.seed,
+    )
+    mesh, batches = launch_batches(global_batches, pcount)
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     if args.use_ssl_pretrained:
@@ -98,16 +97,6 @@ def main():
 
         state = load_pretrained_swinvit(state, args.ssl_ckpt)
 
-    global_batches = brats_train_batches(
-        train_ds, cfg.labeled_num, args.total_num, cfg.batch_size,
-        cfg.labeled_bs, cfg.patch_size, seed=cfg.seed,
-    )
-    if pcount > 1:
-        from icl_tpu.parallel.multihost import multihost_batches
-
-        batches = multihost_batches(global_batches, mesh)
-    else:
-        batches = Prefetcher(global_batches)
     probs_fn = make_patch_predictor(trainer.model, cfg.patch_size, sw_batch=4)
 
     def evaluate(variables):

@@ -15,7 +15,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 from icl_tpu.config import ExperimentConfig
 from icl_tpu.data.acdc import ACDCDataset, patients_to_slices
-from icl_tpu.data.pipeline import Prefetcher, acdc_train_batches
+from icl_tpu.data.pipeline import acdc_train_batches
 from icl_tpu.eval.infer2d import evaluate_acdc_volumes, make_slice_predictor
 from icl_tpu.train.trainer import Trainer
 
@@ -64,7 +64,7 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from icl_tpu.parallel.multihost import initialize_from_args
+    from icl_tpu.parallel.multihost import initialize_from_args, launch_batches
 
     pid, pcount = initialize_from_args(
         args.dist_coordinator, args.num_processes, args.process_id
@@ -88,19 +88,14 @@ def main():
     if pid == 0:
         print(f"Total slices: {len(train_ds)}, labeled slices: {labeled_slice}")
 
-    mesh = None
     if pcount > 1:
         assert args.input_mode == "host", (
             "device_bank is a single-host HBM-resident mode; use "
             "--input_mode host for multi-process runs"
         )
-        from icl_tpu.parallel.mesh import create_mesh
-
-        mesh = create_mesh()  # data axis over every device on every host
-    trainer = Trainer(cfg, mesh=mesh)
-    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-
     if args.input_mode == "device_bank":
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
         from icl_tpu.data.device_bank import build_acdc_bank, two_stream_index_batches
 
         img_bank, lab_bank = build_acdc_bank(train_ds, int(cfg.patch_size[0]))
@@ -119,14 +114,9 @@ def main():
             train_ds, labeled_slice, cfg.batch_size, cfg.labeled_bs,
             cfg.patch_size, seed=cfg.seed,
         )
-        if mesh is not None:
-            # every host runs the SAME seeded sampler; each materializes
-            # only its row block of the logical global batch
-            from icl_tpu.parallel.multihost import multihost_batches
-
-            batches = multihost_batches(global_batches, mesh)
-        else:
-            batches = Prefetcher(global_batches)
+        mesh, batches = launch_batches(global_batches, pcount)
+        trainer = Trainer(cfg, mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     predict = make_slice_predictor(trainer.model, cfg.patch_size)
 
     def evaluate(variables):

@@ -24,7 +24,6 @@ from icl_tpu.data.amos import (
     amos_train_batches,
     load_decathlon_datalist,
 )
-from icl_tpu.data.pipeline import Prefetcher
 from icl_tpu.eval.infer3d import evaluate_amos_cases, make_patch_predictor
 from icl_tpu.metrics import aggregate_case_metrics
 from icl_tpu.train.trainer import Trainer
@@ -74,7 +73,7 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from icl_tpu.parallel.multihost import initialize_from_args
+    from icl_tpu.parallel.multihost import initialize_from_args, launch_batches
 
     pid, pcount = initialize_from_args(
         args.dist_coordinator, args.num_processes, args.process_id
@@ -95,23 +94,13 @@ def main():
     train_ds = AMOSDataset(datalist)
     val_ds = AMOSDataset(val_files, val_mode=True)
 
-    mesh = None
-    if pcount > 1:
-        from icl_tpu.parallel.mesh import create_mesh
-
-        mesh = create_mesh()  # data axis over every device on every host
-    trainer = Trainer(cfg, mesh=mesh)
-    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     global_batches = amos_train_batches(
         train_ds, cfg.labeled_num, args.total_num, cfg.batch_size,
         cfg.labeled_bs, cfg.patch_size, seed=cfg.seed,
     )
-    if pcount > 1:
-        from icl_tpu.parallel.multihost import multihost_batches
-
-        batches = multihost_batches(global_batches, mesh)
-    else:
-        batches = Prefetcher(global_batches)
+    mesh, batches = launch_batches(global_batches, pcount)
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     # AMOS protocol: bf16 inference (≙ AMP autocast), logits stitching
     scores_fn = make_patch_predictor(
         trainer.model, cfg.patch_size, sw_batch=4, apply_softmax=False,

@@ -34,13 +34,16 @@ def test_watchdog_emits_contract_json_and_exits():
     import subprocess
     import sys
 
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import time\n"
         "import bench\n"
         "bench._arm_watchdog(0.2, 'unit-test hang')\n"
         "time.sleep(10)\n"
-    ) % "/root/repo"
+    ) % repo_root
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=60)
     assert r.returncode == 2
