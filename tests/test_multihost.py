@@ -47,3 +47,23 @@ def test_make_global_array_single_process():
     garr = make_global_array(b, mesh, P("data"))
     assert garr["image"].shape == b["image"].shape
     np.testing.assert_array_equal(np.asarray(garr["image"]), b["image"])
+
+
+def test_launch_batches_single_process():
+    """launch_batches (the shared CLI launch contract): single-process
+    returns (None, Prefetcher) yielding the global stream unchanged;
+    the pcount>1 branch is covered by tests/test_two_process.py."""
+    from icl_tpu.data.pipeline import Prefetcher
+    from icl_tpu.parallel.multihost import launch_batches
+
+    rng = np.random.default_rng(3)
+    want = _global_batch(rng)
+
+    def gen():
+        yield dict(want)
+
+    mesh, batches = launch_batches(gen(), process_count=1)
+    assert mesh is None
+    assert isinstance(batches, Prefetcher)
+    got = next(iter(batches))
+    np.testing.assert_array_equal(got["image"], want["image"])
