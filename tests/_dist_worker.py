@@ -52,10 +52,11 @@ def train_main(pid: int, snapshot_dir: str):
     """3 jitted icl_unet steps on a data2×model2 mesh (TP rules live,
     global batch assembled from per-host row blocks), then 2 more steps
     through Trainer.fit on the SAME mesh — exercising the process-0-only
-    log gating and the collective sharded final save, while compiling
-    only ONE program (this box has a single CPU core; a second jitted
-    program would double the dominant cost). Emits per-step losses + a
-    param checksum for the parent's single-process equivalence check."""
+    log gating and the collective sharded final save, compiling only the
+    two step programs (step_jit for the manual steps, step_auto for
+    fit) — compiles dominate on this single-CPU-core box. Emits
+    per-step losses + a param checksum for the parent's single-process
+    equivalence check."""
     import jax.numpy as jnp
 
     from icl_tpu.config import ExperimentConfig
@@ -86,6 +87,11 @@ def train_main(pid: int, snapshot_dir: str):
     # barrier (generous timeout), and only then execute.
     rng, r0 = jax.random.split(rng)
     compiled = trainer.step_jit.lower(state, gbs[0], r0).compile()
+    # fit() dispatches step_auto (per-step key folded on-device, a
+    # DIFFERENT program) — warm its persistent-cache entry too, or the
+    # in-fit cold compile re-opens the 30s gloo skew window after the
+    # barrier below
+    trainer.step_auto.lower(state, gbs[0], jax.random.PRNGKey(cfg.seed)).compile()
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("icl_step_compiled")
@@ -98,8 +104,8 @@ def train_main(pid: int, snapshot_dir: str):
         state, metrics = compiled(state, gb, step_rng)
         losses.append(float(metrics["loss"]))
 
-    # fit() continues from state.step == 3 to max_iterations == 5 using
-    # the SAME compiled step; process 0 alone writes logs/TB, and the
+    # fit() continues from state.step == 3 to max_iterations == 5 via
+    # the cache-warmed step_auto; process 0 alone writes logs/TB, and the
     # final save is a COLLECTIVE sharded Orbax write (model-sharded
     # params span hosts — every process stores its addressable shards)
     state = trainer.fit(
@@ -127,7 +133,11 @@ def main():
     pid = int(sys.argv[1])
     port = sys.argv[2]
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+        # the suite shares ONE cpu core: a worker can straggle minutes
+        # behind its peer (compiles), so the default 300s shutdown
+        # barrier flakes when the fast worker exits first
+        shutdown_timeout_seconds=840,
     )
     assert jax.process_count() == 2
     assert len(jax.devices()) == 4  # 2 virtual CPU devices per process
