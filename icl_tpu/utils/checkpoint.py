@@ -126,7 +126,8 @@ def load_train_state_orbax(snapshot_path: str, target, name: str = "last"):
 # ---- streaming (overlapped-D2H) checkpoints ----------------------------------
 def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
                                chunk_bytes: int = 16 << 20,
-                               window: int = 16) -> str:
+                               window: int = 16,
+                               cast_dtype: str | None = None) -> str:
     """Full-TrainState save with OVERLAPPED device→host pulls.
 
     The tunneled D2H path is latency-bound, not bandwidth-bound: serial
@@ -139,11 +140,29 @@ def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
 
     Layout: `{snapshot}/model/state_{name}.stream/` with `manifest.json`
     (path → file, dtype, shape) + one .npy per leaf. Restore with
-    load_train_state_streaming."""
+    load_train_state_streaming.
+
+    `cast_dtype='bfloat16'` is the LOSSY fallback for slow links: float32
+    device leaves (params AND momentum) are cast on device before the
+    pull — half the D2H bytes, ~3 significant decimal digits kept. The
+    manifest records the original dtype and the loader casts back, so
+    restore is transparent (but not bit-exact). Stored as a uint16 view
+    (bfloat16 .npy portability)."""
     import json
     from collections import deque
 
     from flax import serialization, traverse_util
+
+    assert cast_dtype in (None, "bfloat16"), cast_dtype
+
+    def maybe_cast(buf):
+        if (cast_dtype and hasattr(buf, "astype")
+                and getattr(buf, "dtype", None) == np.float32
+                and hasattr(buf, "copy_to_host_async")):
+            import jax.numpy as jnp
+
+            return buf.astype(jnp.bfloat16), "float32"
+        return buf, None
 
     sd = serialization.to_state_dict(state)
     # keep_empty_nodes: optax chains carry EmptyState ({}) entries whose
@@ -157,18 +176,22 @@ def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
     os.makedirs(out_dir, exist_ok=True)
 
     def chunks():
-        """(path, row_start|None, row_stop, buffer) — leaf-contiguous."""
+        """(path, row_start|None, row_stop, buffer, orig_dtype|None) —
+        leaf-contiguous; cast (if any) happens ON DEVICE per chunk so
+        the transient never exceeds chunk_bytes."""
         for path, leaf in flat.items():
             if not hasattr(leaf, "copy_to_host_async"):
-                yield (path, None, None, np.asarray(leaf))
+                yield (path, None, None, np.asarray(leaf), None)
                 continue
             if leaf.ndim == 0 or leaf.nbytes <= chunk_bytes:
-                yield (path, None, None, leaf)
+                buf, orig = maybe_cast(leaf)
+                yield (path, None, None, buf, orig)
                 continue
             n0 = leaf.shape[0]
             rows = max(1, int(chunk_bytes * n0 // leaf.nbytes))
             for a in range(0, n0, rows):
-                yield (path, a, min(a + rows, n0), leaf[a: a + rows])
+                buf, orig = maybe_cast(leaf[a: a + rows])
+                yield (path, a, min(a + rows, n0), buf, orig)
 
     def issue(item):
         buf = item[3]
@@ -194,7 +217,7 @@ def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
     partial: dict = {}
     idx = 0
     while queue:
-        path, a, b, buf = queue.popleft()
+        path, a, b, buf, orig = queue.popleft()
         nxt = next(gen, None)
         if nxt is not None:
             issue(nxt)
@@ -216,9 +239,16 @@ def save_train_state_streaming(snapshot_path: str, state, name: str = "last",
         if done:
             fname = f"leaf{idx:05d}.npy"
             idx += 1
+            rec = {"file": fname, "dtype": str(arr.dtype),
+                   "shape": list(arr.shape)}
+            if orig is not None:
+                # bfloat16 stored as a uint16 view (.npy portability);
+                # the loader view()s back and casts to orig_dtype
+                rec["orig_dtype"] = orig
+                rec["stored_as"] = "uint16"
+                arr = arr.view(np.uint16)
             np.save(os.path.join(out_dir, fname), arr)
-            manifest[path] = {"file": fname, "dtype": str(arr.dtype),
-                              "shape": list(arr.shape)}
+            manifest[path] = rec
             partial.pop(path, None)
 
     tmp = os.path.join(out_dir, "manifest.json.tmp")
@@ -241,10 +271,15 @@ def load_train_state_streaming(snapshot_path: str, target, name: str = "last"):
     # pre-round-3 manifests were a bare path->record map
     records = manifest.get("leaves", manifest)
     empties = manifest.get("empty_nodes", []) if "leaves" in manifest else []
-    flat = {
-        path: np.load(os.path.join(out_dir, rec["file"]))
-        for path, rec in records.items()
-    }
+    def load_leaf(rec):
+        arr = np.load(os.path.join(out_dir, rec["file"]))
+        if rec.get("orig_dtype"):  # lossy bf16-cast save (cast_dtype)
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16).astype(rec["orig_dtype"])
+        return arr
+
+    flat = {path: load_leaf(rec) for path, rec in records.items()}
     for p in empties:
         flat[p] = traverse_util.empty_node
     sd = traverse_util.unflatten_dict(flat, sep="/")

@@ -137,6 +137,48 @@ def test_streaming_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored["np_leaf"], got["np_leaf"])
 
 
+def test_streaming_checkpoint_bf16_cast_roundtrip(tmp_path):
+    """cast_dtype='bfloat16' (lossy fallback for slow D2H links): f32
+    device leaves are cast on device pre-pull (half the bytes), stored
+    as uint16 views, and the loader casts back to float32 transparently
+    — values within bf16 quantization; int/np leaves stay exact."""
+    import jax.numpy as jnp
+
+    from icl_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(1)
+    state = {
+        "params": {
+            "big": jnp.asarray(rng.normal(size=(600, 1024)).astype(np.float32)),
+            "small": jnp.asarray(rng.normal(size=(7, 3)).astype(np.float32)),
+        },
+        "step": jnp.asarray(7, jnp.int32),
+        "np_leaf": rng.normal(size=(5,)).astype(np.float64),
+    }
+    snap = str(tmp_path / "snap")
+    ckpt.save_train_state_streaming(snap, state, chunk_bytes=1 << 20,
+                                    window=2, cast_dtype="bfloat16")
+    # stored files are half-size for the f32 leaves
+    import json as _json
+    import os as _os
+
+    man = _json.load(open(_os.path.join(
+        snap, "model", "state_last.stream", "manifest.json")))
+    big = man["leaves"]["params/big"]
+    assert big["orig_dtype"] == "float32" and big["stored_as"] == "uint16"
+
+    target = jax.tree.map(np.zeros_like, jax.device_get(state))
+    restored = ckpt.load_train_state_streaming(snap, target)
+    got = jax.device_get(state)
+    assert restored["params"]["big"].dtype == np.float32
+    np.testing.assert_allclose(
+        restored["params"]["big"], got["params"]["big"], rtol=8e-3)
+    np.testing.assert_allclose(
+        restored["params"]["small"], got["params"]["small"], rtol=8e-3)
+    assert int(restored["step"]) == 7
+    np.testing.assert_array_equal(restored["np_leaf"], got["np_leaf"])
+
+
 def test_rolling_streaming_dialect_and_mixed_pruning(tmp_path):
     """Rolling checkpoints above the streaming threshold write .stream
     dirs with a state_last.stream symlink; msgpack and stream steps
