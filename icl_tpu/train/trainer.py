@@ -340,7 +340,7 @@ class Trainer:
                         it,
                     )
 
-            if (evaluate is not None and is_main
+            if (evaluate is not None and is_main and cfg.val_interval
                     and iter_num % cfg.val_interval == 0):
                 # keep params on device for the jitted predictors; only the
                 # (ICL-stripped) best-checkpoint save pulls to host
