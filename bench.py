@@ -1,13 +1,19 @@
 """Benchmark: ICL training throughput per family on the reference
 configs. Flagship = ICL 2D U-Net on ACDC (batch 16 = 8 labeled + 8
 unlabeled, 256² patches, SGD+poly — train_inherent_consistent_unet_2D.py
-:31-49); secondary families (VERDICT r2 item 5) = icl_swinunet 2D @224²,
-unet_3D_icl + swinunetr_icl BraTS @96³ bs4.
+:31-49); secondary families = icl_swinunet 2D @224², unet_3D_icl +
+swinunetr_icl BraTS @96³ bs4.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-flagship (driver contract), with per-family results in a "families" dict
-and spread percentiles alongside. Set ICL_TPU_BENCH_FAMILIES=flagship to
-skip the secondaries.
+Driver contract & crash-safety (VERDICT r3 item 1): the flagship JSON
+line is printed AND FLUSHED the moment the flagship measurement exists —
+before any secondary family compiles — so a mid-run kill can no longer
+cost the round its BENCH artifact. Secondary families run under a hard
+wall budget (ICL_TPU_BENCH_TOTAL_BUDGET, default 900 s): each family is
+skipped-with-note when the remaining budget can't cover its estimate.
+When families complete, ONE final enriched JSON line repeats the exact
+same headline fields plus a "families" dict (whichever line the driver
+parses carries the same flagship numbers), and the full detail also
+lands in BENCH_DETAILS.json for BASELINE.md citation.
 
 The reference publishes no throughput (BASELINE.md); vs_baseline is
 measured against BENCH_BASELINE.json — written on the first ever run
@@ -29,13 +35,22 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/icl_
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+DETAILS_FILE = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
+T0 = time.time()
+BUDGET = float(os.environ.get("ICL_TPU_BENCH_TOTAL_BUDGET", "900"))
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T0)
 
 
 def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                 eval_2d: bool = False, eval_3d: bool = False):
     """Compile + warmup one jitted train step, then `steps` blocked
     per-step timings. Returns dict with p10/p50/p90 (ms), steps/s (p50),
-    and the XLA-reported FLOPs/step when available.
+    XLA cost-model FLOPs/step, and the hand-derived analytic FLOPs/step
+    (utils/flops.py jaxpr walk: 2MNK dots + conv formula — the
+    defensible MFU numerator; the XLA cost model double-counts remat).
 
     Blocked (one step in flight): free-running dispatch with donated
     multi-GB states can collapse the allocator on this runtime, and a
@@ -73,6 +88,13 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
         flops = float(ca.get("flops"))
     except Exception:
         pass
+    analytic = None
+    try:
+        from icl_tpu.utils.flops import analytic_step_flops
+
+        analytic = analytic_step_flops(trainer.step_auto, state, batch, base_rng)
+    except Exception:
+        pass
 
     step_times = []
     t_wall = time.perf_counter()
@@ -99,6 +121,12 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
         # derived TFLOP/s is "apparent", can exceed real utilization.
         out["xla_cost_flops_per_step"] = flops
         out["apparent_tflops_at_p50"] = round(flops / p50 / 1e12, 1)
+    if analytic:
+        # hand-derived 2MNK/conv-formula count of the traced step jaxpr
+        # (incl. remat recompute as real equations) — the defensible
+        # numerator for MFU claims (BASELINE.md MFU section).
+        out["analytic_flops_per_step"] = analytic
+        out["analytic_tflops_at_p50"] = round(analytic / p50 / 1e12, 1)
     if scan_k > 1:
         # Multi-step fusion (cfg.scan_steps): lax.scan scan_k steps into
         # ONE dispatch — amortizes host dispatch/tunnel latency. fit()
@@ -184,21 +212,24 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
     return out
 
 
-def _arm_watchdog(timeout_s: float, note: str):
+def _arm_watchdog(timeout_s: float, note: str, emit_zero: bool = True):
     """The axon tunnel can hang indefinitely (observed: jax.devices()
     blocking for hours in round 3). A hung bench costs the round its
     BENCH artifact entirely — fire an HONEST zero-value JSON line with
-    the error note instead, then hard-exit."""
+    the error note instead, then hard-exit. Once the flagship line has
+    been printed, re-arm with emit_zero=False: the backstop then just
+    exits, leaving the already-printed flagship line as the artifact."""
     import threading
 
     def fire():
-        print(json.dumps({
-            "metric": "acdc_icl_unet_train_slices_per_sec",
-            "value": 0.0,
-            "unit": "slices/sec",
-            "vs_baseline": 0.0,
-            "error": note,
-        }), flush=True)
+        if emit_zero:
+            print(json.dumps({
+                "metric": "acdc_icl_unet_train_slices_per_sec",
+                "value": 0.0,
+                "unit": "slices/sec",
+                "vs_baseline": 0.0,
+                "error": note,
+            }), flush=True)
         os._exit(2)
 
     t = threading.Timer(timeout_s, fire)
@@ -210,17 +241,17 @@ def _arm_watchdog(timeout_s: float, note: str):
 def main():
     from icl_tpu.config import ExperimentConfig
 
-    # Phase 1 watchdog: device discovery. Phase 2: the whole run
-    # (compiles of the 1.1B-param programs are minutes cold, plus 4
-    # families — generous bound, only guards against an infinite hang).
+    # Phase 1 watchdog: device discovery. Phase 2 (armed after the
+    # flagship line is out): pure backstop against a mid-family hang —
+    # exits WITHOUT printing, so the flagship line stays the artifact.
     wd = _arm_watchdog(
-        float(os.environ.get("ICL_TPU_BENCH_DEVICE_TIMEOUT", "600")),
+        float(os.environ.get("ICL_TPU_BENCH_DEVICE_TIMEOUT", "240")),
         "device discovery hung (tunnel unreachable)")
     jax.devices()
     wd.cancel()
     wd = _arm_watchdog(
-        float(os.environ.get("ICL_TPU_BENCH_TOTAL_TIMEOUT", "7200")),
-        "bench exceeded total timeout (device stalled mid-run)")
+        max(remaining(), 60.0),
+        "flagship exceeded the total budget")
 
     batch_size, labeled_bs, patch = 16, 8, 256
     cfg = ExperimentConfig(
@@ -262,29 +293,6 @@ def main():
         )
     slices_per_sec = headline_sps * batch_size
 
-    families = {"icl_unet_acdc": dict(flagship, slices_per_sec=round(slices_per_sec, 1))}
-    if os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship":
-        swin2d_cfg = ExperimentConfig(
-            model="icl_swinunet", patch_size=(224, 224), batch_size=16,
-            labeled_bs=8, max_iterations=30000, precision="bfloat16",
-        )
-        families["icl_swinunet_acdc"] = time_family(
-            swin2d_cfg, (16, 224, 224, 1), 4, steps=50)
-        unet3d_cfg = ExperimentConfig(
-            model="unet_3D_icl", patch_size=(96, 96, 96), batch_size=4,
-            labeled_bs=2, num_classes=2, max_iterations=30000,
-            consis_weight=10.0, precision="bfloat16",
-        )
-        families["unet_3d_icl_brats"] = time_family(
-            unet3d_cfg, (4, 96, 96, 96, 1), 2, steps=50)
-        swin3d_cfg = ExperimentConfig(
-            model="swinunetr_icl", patch_size=(96, 96, 96), batch_size=4,
-            labeled_bs=2, num_classes=2, max_iterations=30000,
-            consis_weight=10.0, remat=True, precision="bfloat16",
-        )
-        families["swinunetr_icl_brats"] = time_family(
-            swin3d_cfg, (4, 96, 96, 96, 1), 2, steps=50, eval_3d=True)
-
     STAT = "p50"
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -309,22 +317,66 @@ def main():
             )
         baseline = slices_per_sec
 
-    print(
-        json.dumps(
-            {
-                "metric": "acdc_icl_unet_train_slices_per_sec",
-                "value": round(slices_per_sec, 3),
-                "unit": "slices/sec",
-                "vs_baseline": round(slices_per_sec / baseline, 3),
-                "stat": stat,
-                "p10_ms": round(p10 * 1e3, 3),
-                "p50_ms": round(p50 * 1e3, 3),
-                "p90_ms": round(p90 * 1e3, 3),
-                "baseline_is_self": True,
-                "families": families,
-            }
-        )
-    )
+    headline = {
+        "metric": "acdc_icl_unet_train_slices_per_sec",
+        "value": round(slices_per_sec, 3),
+        "unit": "slices/sec",
+        "vs_baseline": round(slices_per_sec / baseline, 3),
+        "stat": stat,
+        "p10_ms": round(p10 * 1e3, 3),
+        "p50_ms": round(p50 * 1e3, 3),
+        "p90_ms": round(p90 * 1e3, 3),
+        "baseline_is_self": True,
+    }
+    # CRASH-SAFE EMIT: the round artifact exists from this point on,
+    # whatever happens to the secondary families below.
+    print(json.dumps(headline), flush=True)
+    wd.cancel()
+    wd = _arm_watchdog(max(remaining(), 30.0) + 120.0,
+                       "families overran", emit_zero=False)
+
+    families = {"icl_unet_acdc": dict(flagship, slices_per_sec=round(slices_per_sec, 1))}
+    if os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship":
+        # (config builder, batch shape, classes, steps, kwargs, est cost s)
+        secondaries = [
+            ("icl_swinunet_acdc",
+             ExperimentConfig(
+                 model="icl_swinunet", patch_size=(224, 224), batch_size=16,
+                 labeled_bs=8, max_iterations=30000, precision="bfloat16"),
+             (16, 224, 224, 1), 4, 50, {}, 120.0),
+            ("unet_3d_icl_brats",
+             ExperimentConfig(
+                 model="unet_3D_icl", patch_size=(96, 96, 96), batch_size=4,
+                 labeled_bs=2, num_classes=2, max_iterations=30000,
+                 consis_weight=10.0, precision="bfloat16"),
+             (4, 96, 96, 96, 1), 2, 50, {}, 120.0),
+            ("swinunetr_icl_brats",
+             ExperimentConfig(
+                 model="swinunetr_icl", patch_size=(96, 96, 96), batch_size=4,
+                 labeled_bs=2, num_classes=2, max_iterations=30000,
+                 consis_weight=10.0, remat=True, precision="bfloat16"),
+             (4, 96, 96, 96, 1), 2, 50, {"eval_3d": True}, 240.0),
+        ]
+        for name, fcfg, shape, ncls, steps, kw, est in secondaries:
+            if remaining() < est:
+                families[name] = {
+                    "skipped": f"budget: {remaining():.0f}s left < {est:.0f}s estimate"
+                }
+                continue
+            try:
+                families[name] = time_family(fcfg, shape, ncls, steps, **kw)
+            except Exception as e:  # pragma: no cover - device-specific
+                families[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    enriched = dict(headline, families=families, wall_s=round(time.time() - T0, 1))
+    try:
+        with open(DETAILS_FILE, "w") as f:
+            json.dump(enriched, f, indent=1)
+    except Exception:
+        pass
+    # final line repeats the SAME headline numbers (+ families): whichever
+    # JSON line the driver parses, the flagship values are identical.
+    print(json.dumps(enriched), flush=True)
 
 
 if __name__ == "__main__":

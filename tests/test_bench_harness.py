@@ -4,10 +4,12 @@ produce their keys (the driver's end-of-round bench runs this exact
 code on the chip at the flagship config — a plumbing break there costs
 the round's BENCH artifact)."""
 import numpy as np
+import pytest
 
 from icl_tpu.config import ExperimentConfig
 
 
+@pytest.mark.slow
 def test_time_family_keys_tiny_cpu():
     import bench
 
@@ -53,6 +55,82 @@ def test_watchdog_emits_contract_json_and_exits():
     assert rec["metric"] == "acdc_icl_unet_train_slices_per_sec"
 
 
+def _canned_family(*a, **kw):
+    return {
+        "steps_per_sec_p50": 100.0, "p10_ms": 9.0, "p50_ms": 10.0,
+        "p90_ms": 11.0, "compile_or_cache_load_s": 0.1,
+        "steps_per_sec_wall": 99.0,
+    }
+
+
+def test_main_emits_flagship_line_before_families(monkeypatch, capsys, tmp_path):
+    """VERDICT r3 item 1: the flagship JSON must be printed the moment
+    the flagship measurement exists; a later family crash must not
+    destroy it, and the final enriched line must repeat the SAME
+    headline values."""
+    import json
+
+    import bench
+
+    calls = {"n": 0}
+
+    def fake_family(cfg, shape, ncls, steps, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("secondary family exploded")
+        return _canned_family()
+
+    monkeypatch.setattr(bench, "time_family", fake_family)
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    first, last = json.loads(lines[0]), json.loads(lines[-1])
+    assert first["value"] == last["value"] == 100.0 * 16
+    assert first["metric"] == last["metric"]
+    assert "families" not in first and "families" in last
+    # the crashed secondaries are recorded, not fatal
+    errs = [v for k, v in last["families"].items() if k != "icl_unet_acdc"]
+    assert errs and all("error" in v for v in errs)
+    assert (tmp_path / "d.json").exists()
+
+
+def test_main_skips_families_when_budget_exhausted(monkeypatch, capsys, tmp_path):
+    import json
+    import time
+
+    import bench
+
+    monkeypatch.setattr(bench, "time_family",
+                        lambda *a, **kw: _canned_family())
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    monkeypatch.setattr(bench, "T0", time.time() - bench.BUDGET)  # budget gone
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    last = json.loads(lines[-1])
+    skipped = [v for k, v in last["families"].items() if k != "icl_unet_acdc"]
+    assert skipped and all("skipped" in v for v in skipped)
+
+
+def test_time_family_analytic_flops_tiny_cpu():
+    import bench
+
+    cfg = ExperimentConfig(
+        model="unet", patch_size=(16, 16), batch_size=4, labeled_bs=2,
+        max_iterations=100,
+    )
+    out = bench.time_family(cfg, (4, 16, 16, 1), 4, steps=4)
+    assert out.get("analytic_flops_per_step", 0) > 0
+    assert out["analytic_tflops_at_p50"] >= 0
+
+
+@pytest.mark.slow
 def test_time_family_eval3d_tiny_cpu(monkeypatch):
     import bench
 
