@@ -47,7 +47,11 @@ class ACDCDataset:
         self.base_dir = base_dir
         self.split = split
         list_file = "train_slices.list" if split == "train" else "val_test.list"
-        with open(os.path.join(base_dir, list_file)) as f:
+        from icl_tpu.data.manifests import resolve_manifest
+
+        # official split definition: root's own copy wins, else the
+        # repo-vendored manifest (data/ACDC/*.list)
+        with open(resolve_manifest(base_dir, list_file, "ACDC")) as f:
             self.sample_list = [ln.strip() for ln in f if ln.strip()]
         if num is not None and split == "train":
             self.sample_list = self.sample_list[:num]

@@ -40,10 +40,19 @@ AMOS_CLASS_NAMES = [
 
 def load_decathlon_datalist(json_path: str, section: str = "training") -> list[dict]:
     """MONAI load_decathlon_datalist equivalent: resolve relative paths
-    against the JSON's directory."""
+    against the JSON's directory. When `json_path` doesn't exist, fall
+    back to the repo-vendored official split
+    (data/AMOS22/dataset_semi_ct.json) — still resolving relative image
+    paths against the *requested* location, i.e. the user's data dir."""
+    base = os.path.dirname(os.path.abspath(json_path))
+    if not os.path.exists(json_path):
+        from icl_tpu.data.manifests import vendored_path
+
+        vendored = vendored_path("AMOS22", os.path.basename(json_path))
+        if os.path.exists(vendored):
+            json_path = vendored
     with open(json_path) as f:
         spec = json.load(f)
-    base = os.path.dirname(os.path.abspath(json_path))
     items = []
     for entry in spec[section]:
         if isinstance(entry, str):

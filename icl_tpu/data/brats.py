@@ -28,7 +28,9 @@ class BraTS2019Dataset:
         self.base_dir = base_dir
         list_file = {"train": "train.txt", "test": "val.txt",
                      "val_test": "val_test.txt"}.get(split, f"{split}.txt")
-        with open(os.path.join(base_dir, list_file)) as f:
+        from icl_tpu.data.manifests import resolve_manifest
+
+        with open(resolve_manifest(base_dir, list_file, "BraTS2019")) as f:
             self.image_list = [ln.strip().split(",")[0] for ln in f if ln.strip()]
         if num is not None:
             self.image_list = self.image_list[:num]
