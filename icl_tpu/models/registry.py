@@ -66,22 +66,25 @@ def _unet_ds(in_chns, class_num, **kw):
 
 
 @register("swinunet")
-def _swinunet(in_chns, class_num, img_size: int = 224, window_size: int = 7, **kw):
+def _swinunet(in_chns, class_num, img_size: int = 224, window_size: int = 7,
+              swin_cfg=None, **kw):
     from icl_tpu.models.swin2d import SwinUnetWrapper
 
+    # swin_cfg: full SwinConfig (e.g. --cfg yaml) overriding the geometry
     return SwinUnetWrapper(in_chns=in_chns, class_num=class_num,
-                           img_size=img_size, window_size=window_size)
+                           img_size=img_size, window_size=window_size,
+                           cfg=swin_cfg)
 
 
 @register("icl_swinunet")
 def _icl_swinunet(in_chns, class_num, img_size: int = 224, patch_size: int = 224,
-                  window_size: int = 7, **kw):
+                  window_size: int = 7, swin_cfg=None, **kw):
     from icl_tpu.models.swin2d_icl import SwinUNetICL
 
     # patch_size alias: trainers pass the training patch (= img size here)
     return SwinUNetICL(in_chns=in_chns, class_num=class_num,
                        img_size=img_size if img_size != 224 else patch_size,
-                       window_size=window_size)
+                       window_size=window_size, cfg=swin_cfg)
 
 
 @register("unet_3D")

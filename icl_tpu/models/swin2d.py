@@ -367,16 +367,20 @@ class SwinUNet2D(nn.Module):
 
 class SwinUnetWrapper(nn.Module):
     """Non-ICL SwinUnet (vision_transformer_base.py:25-89): grayscale →
-    3-channel repeat, plain forward."""
+    3-channel repeat, plain forward. A full `cfg` (e.g. from a `--cfg`
+    yaml via models.swin_config.get_swin_config) overrides the
+    img_size/window_size convenience fields."""
 
     in_chns: int
     class_num: int
     img_size: int = 224
     window_size: int = 7
+    cfg: Optional[SwinConfig] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, inference: bool = False):
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
-        cfg = SwinConfig(img_size=self.img_size, window_size=self.window_size)
+        cfg = self.cfg or SwinConfig(
+            img_size=self.img_size, window_size=self.window_size)
         return SwinUNet2D(self.class_num, cfg, name="swin_unet")(x, train=train)

@@ -8,6 +8,8 @@ in_chans (384, 192, 96), resolutions (14, 28, 56), heads (24, 12, 6)
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -20,11 +22,15 @@ class SwinUNetICL(nn.Module):
     class_num: int
     img_size: int = 224
     window_size: int = 7
+    # full geometry override (e.g. a `--cfg` yaml through
+    # models.swin_config.get_swin_config); wins over img_size/window_size
+    cfg: Optional[SwinConfig] = None
 
     def setup(self):
-        cfg = SwinConfig(img_size=self.img_size, window_size=self.window_size)
+        cfg = self.cfg or SwinConfig(
+            img_size=self.img_size, window_size=self.window_size)
         self.swin_unet = SwinUNet2D(self.class_num, cfg, return_feats=True)
-        pr = self.img_size // cfg.patch_size  # 56
+        pr = cfg.img_size // cfg.patch_size  # 56
         icl_kwargs = dict(
             in_chans=(4 * cfg.embed_dim, 2 * cfg.embed_dim, cfg.embed_dim),
             num_classes=self.class_num,

@@ -40,3 +40,25 @@ def get_swin_config(yaml_path: Optional[str] = None, **overrides) -> SwinConfig:
         kwargs = {k: v for k, v in mapping.items() if v is not None}
     kwargs.update(overrides)
     return SwinConfig(**kwargs)
+
+
+def swin_cli_kwargs(args) -> dict:
+    """`--cfg` CLI surface shared by the Swin scripts: yaml →
+    model_kwargs['swin_cfg'], with IMG_SIZE following --patch_size (the
+    reference constructs the net with img_size from the CLI) and the
+    yaml's MODEL.PRETRAIN_CKPT used when --pretrained_ckpt wasn't given
+    (reference `model.load_from(config)` semantics,
+    train_fully_supervised_swinunet_2D_ACDC.py:96)."""
+    if not getattr(args, "cfg", None):
+        return {}
+    import os
+
+    kwargs = {"swin_cfg": get_swin_config(args.cfg, img_size=args.patch_size[0])}
+    if not getattr(args, "pretrained_ckpt", None):
+        import yaml
+
+        spec = yaml.safe_load(open(args.cfg)) or {}
+        ckpt = spec.get("MODEL", {}).get("PRETRAIN_CKPT")
+        if ckpt and os.path.exists(ckpt):
+            args.pretrained_ckpt = ckpt
+    return kwargs

@@ -40,11 +40,21 @@ def parse_args():
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--pretrained_ckpt", type=str, default=None)
+    p.add_argument("--cfg", type=str, default=None,
+                   help="Swin yaml config (reference config.py:227-234 "
+                        "get_config schema, e.g. configs/swin_tiny_patch4_"
+                        "window7_224_lite.yaml); overrides flags for the "
+                        "Swin geometry. IMG_SIZE still follows "
+                        "--patch_size (reference passes img_size from "
+                        "the CLI).")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from icl_tpu.models.swin_config import swin_cli_kwargs
+
+    swin_kwargs = swin_cli_kwargs(args)
     cfg = ExperimentConfig(
         root_path=args.root_path, exp=args.exp, model=args.model,
         num_classes=args.num_classes, max_iterations=args.max_iterations,
@@ -53,6 +63,7 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
         precision=args.precision, scan_steps=args.scan_steps,
+        model_kwargs=swin_kwargs,
     )
     labeled_slice = patients_to_slices(cfg.root_path, cfg.labeled_num)
     train_ds = ACDCDataset(cfg.root_path, "train", num=labeled_slice)

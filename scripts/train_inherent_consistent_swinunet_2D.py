@@ -54,6 +54,10 @@ def parse_args():
                    help="host:port of process 0 (jax.distributed)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--cfg", type=str, default=None,
+                   help="Swin yaml config (reference config.py:227-234 "
+                        "get_config schema); overrides flags for the Swin "
+                        "geometry. IMG_SIZE still follows --patch_size.")
     return p.parse_args()
 
 
@@ -64,6 +68,9 @@ def main():
     pid, pcount = initialize_from_args(
         args.dist_coordinator, args.num_processes, args.process_id
     )
+    from icl_tpu.models.swin_config import swin_cli_kwargs
+
+    swin_kwargs = swin_cli_kwargs(args)
     cfg = ExperimentConfig(
         root_path=args.root_path, exp=args.exp, model=args.model,
         num_classes=args.num_classes, max_iterations=args.max_iterations,
@@ -73,6 +80,7 @@ def main():
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
         precision=args.precision, scan_steps=args.scan_steps,
+        model_kwargs=swin_kwargs,
     )
     labeled_slice = patients_to_slices(cfg.root_path, cfg.labeled_num)
     train_ds = ACDCDataset(cfg.root_path, "train")
