@@ -275,6 +275,37 @@ class Trainer:
             scan_k = 1
         batch_iter = iter(train_batches)
 
+        # Deferred scalar logging: the D2H pull of group i's metrics is
+        # issued AFTER group i+1 is dispatched, so the tunnel roundtrip
+        # (~0.3 s on this runtime — it dominated the end-to-end loop in
+        # round 4's verify run: 2.7 it/s with eager per-leaf pulls)
+        # overlaps device compute instead of serializing with it.
+        pending_log: list = []
+
+        def flush_log():
+            if not pending_log:
+                return
+            b, n2, mets = pending_log.pop()
+            if not any((b + r + 1) % cfg.log_interval == 0 for r in range(n2)):
+                return
+            host_rows = jax.device_get(mets)  # ONE batched transfer
+            for r in range(n2):
+                it = b + r + 1
+                if it % cfg.log_interval:
+                    continue
+                writer.add_scalar("Info/lr", float(lr_sched(it - 1)), it)
+                host_metrics = {
+                    k2: float(v[r]) if n2 > 1 else float(v)
+                    for k2, v in host_rows.items()
+                }
+                for tag, v in host_metrics.items():
+                    writer.add_scalar(f"Loss/{tag}", v, it)
+                logger.info(
+                    "iteration %d : "
+                    + ", ".join(f"{k2}: {v:f}" for k2, v in host_metrics.items()),
+                    it,
+                )
+
         running = True
         while running and iter_num < cfg.max_iterations:
             # group size: never scan across a validation / checkpoint /
@@ -314,34 +345,21 @@ class Trainer:
                 ]
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *var)
                 state, metrics = self.scan_step(n)(state, const, stacked, base_rng)
+            # Previous group's metrics transfer overlaps this group's
+            # device compute (the arrays are complete; only the tunnel
+            # roundtrip remains).
+            flush_log()
             # Keep exactly one dispatch in flight: free-running dispatch
             # with donated multi-GB states can collapse the allocator on
             # this hardware (see bench.py); blocking costs ~0.1ms.
             jax.block_until_ready(metrics["loss"])
             base_iter = iter_num
             iter_num += n
-
-            if any((base_iter + r + 1) % cfg.log_interval == 0 for r in range(n)):
-                host_rows = {k2: np.asarray(v) for k2, v in metrics.items()}
-                for r in range(n):
-                    it = base_iter + r + 1
-                    if it % cfg.log_interval:
-                        continue
-                    writer.add_scalar("Info/lr", float(lr_sched(it - 1)), it)
-                    host_metrics = {
-                        k2: float(v[r]) if n > 1 else float(v)
-                        for k2, v in host_rows.items()
-                    }
-                    for tag, v in host_metrics.items():
-                        writer.add_scalar(f"Loss/{tag}", v, it)
-                    logger.info(
-                        "iteration %d : "
-                        + ", ".join(f"{k2}: {v:f}" for k2, v in host_metrics.items()),
-                        it,
-                    )
+            pending_log.append((base_iter, n, metrics))
 
             if (evaluate is not None and is_main and cfg.val_interval
                     and iter_num % cfg.val_interval == 0):
+                flush_log()  # keep log.txt ordering exact at boundaries
                 # keep params on device for the jitted predictors; only the
                 # (ICL-stripped) best-checkpoint save pulls to host
                 variables = {
@@ -392,11 +410,13 @@ class Trainer:
 
             if (is_main and cfg.checkpoint_interval
                     and iter_num % cfg.checkpoint_interval == 0):
+                flush_log()
                 path = ckpt.save_train_state_rolling(
                     snapshot, state, iter_num, keep=cfg.keep_checkpoints
                 )
                 logger.info("periodic checkpoint at iter %d -> %s", iter_num, path)
 
+        flush_log()
         elapsed = time.perf_counter() - t_start
         logger.info(
             "Training finished: %d iters in %.1fs (%.2f it/s)",
