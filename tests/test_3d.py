@@ -28,6 +28,7 @@ def test_unet3d_shapes():
     assert "batch_stats" not in v or not v.get("batch_stats")
 
 
+@pytest.mark.slow
 def test_unet3d_icl_contract():
     m = net_factory("unet_3D_icl", 1, 2, patch_size=16)
     x = jnp.zeros((1, 16, 16, 16, 1))

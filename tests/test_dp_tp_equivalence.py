@@ -5,6 +5,9 @@ math runs)."""
 import numpy as np
 import pytest
 
+# slow tier: excluded from the quick gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -36,6 +36,7 @@ def test_unet_deep_supervision_variants(key):
         assert o.shape == (2, 16, 16, 4)
 
 
+@pytest.mark.slow
 def test_swinunetr_icl_contract():
     m = net_factory("swinunetr_icl", 1, 2, patch_size=32, feature_size=12,
                     window_size=(4, 4, 4))

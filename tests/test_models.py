@@ -48,6 +48,7 @@ def icl_and_vars():
     return m, v
 
 
+@pytest.mark.slow
 def test_icl_output_contract(icl_and_vars):
     """5-tuple (out_lab, out_unlab, fm_lab, fm_unlab, fm_consisunlab)
     (unet_icl.py:237-252); feat maps at (P/8, P/4, P/2)."""
@@ -77,6 +78,7 @@ def test_icl_guided_q_zeros(icl_and_vars):
     assert np.all(np.asarray(gq) == 0)
 
 
+@pytest.mark.slow
 def test_icl_grads_flow(icl_and_vars):
     """Consistency loss must send gradients into the USCL head and the
     encoder (labeled targets detached)."""

@@ -24,6 +24,7 @@ needs_ref = pytest.mark.skipif(
 
 
 @needs_ref
+@pytest.mark.slow
 def test_synthetic_acdc_side_by_side():
     args = parity_run.parse_args(
         ["--dataset", "ACDC", "--model", "unet", "--num_classes", "4",
@@ -39,6 +40,7 @@ def test_synthetic_acdc_side_by_side():
 
 
 @needs_ref
+@pytest.mark.slow
 def test_synthetic_brats_side_by_side():
     args = parity_run.parse_args(
         ["--dataset", "BraTS", "--model", "unet_3D", "--num_classes", "2",
@@ -50,6 +52,7 @@ def test_synthetic_brats_side_by_side():
     assert result["max_class_delta"]["hd95"] <= 1.0
 
 
+@pytest.mark.slow
 def test_jax_only_mode_runs():
     args = parity_run.parse_args(
         ["--dataset", "ACDC", "--model", "unet", "--num_classes", "4",

@@ -238,6 +238,7 @@ def test_icl_head_3d_matches_reference():
 
 
 # ------------------------------------------------------- full UNet_icl 2D
+@pytest.mark.slow
 def test_icl_unet2d_full_forward_matches_reference():
     """End-to-end UNet_icl 5-tuple parity at the reference's hard-coded
     256² geometry (unet_icl.py:200-216). ~1.1B params — feasible in this
@@ -296,6 +297,7 @@ def swinunet_config_ns(img_size=224):
     )
 
 
+@pytest.mark.slow
 def test_swinunet2d_backbone_matches_reference():
     """The REAL SwinTransformerSys (swinunet_icl.py:605-809) vs icl_tpu
     SwinUNet2D at the reference 224² geometry: logits + all three decoder
@@ -337,6 +339,7 @@ def test_swinunet2d_backbone_matches_reference():
                      f"inter_feat_u[{i}]", move=False)
 
 
+@pytest.mark.slow
 def test_swinunet_icl_wrapper_matches_reference():
     """The REAL SwinUnet ICL wrapper (vision_transformer.py:32-146),
     grayscale repeat + tokenized sspa/uscl heads, full 5-tuple at 224²
@@ -373,6 +376,7 @@ def test_swinunet_icl_wrapper_matches_reference():
                          f"swinunet fm_{name}[{i}]")
 
 
+@pytest.mark.slow
 def test_swinunetr_forward_matches_reference():
     """The REAL vendored SwinUNETR (swinunetr.py:29-285 + 3D Swin
     :387-1010) vs icl_tpu at an ANISOTROPIC 64×32×32 with window 7 —
@@ -401,6 +405,7 @@ def test_swinunetr_forward_matches_reference():
     assert_close(y_ref, y, 1e-4, "SwinUNETR forward")
 
 
+@pytest.mark.slow
 def test_swinunetr_icl_full_forward_matches_reference():
     """The REAL SwinUNETR_icl (swinunetr_icl.py:30-357) full 5-tuple at
     64³ through convert_icl_swinunetr (guide_Q spelling, conv-proj 3D
@@ -543,6 +548,7 @@ def test_aux_loss_3d_matches_reference():
 
 
 # ------------------------------------------- train-step parity (r3 #9)
+@pytest.mark.slow
 def test_icl_unet2d_one_sgd_step_matches_reference():
     """ONE full training step — forward(+BN batch-stat updates) →
     reference loss composition (CE + Dice + aux + pse + 50·consis,

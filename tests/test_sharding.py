@@ -32,6 +32,7 @@ def test_param_rules_hit_mlp2():
     assert any("mlp2" in h for h in hit), "TP rules must match ICL mlp2 kernels"
 
 
+@pytest.mark.slow
 def test_icl_step_dp_tp():
     n = len(jax.devices())
     assert n == 8, "conftest must provide 8 virtual CPU devices"
@@ -58,6 +59,7 @@ def test_icl_step_dp_tp():
     assert "model" in str(mlp2_kernel.sharding.spec)
 
 
+@pytest.mark.slow
 def test_scan_step_dp_tp_matches_per_step():
     """cfg.scan_steps under a dp4×tp2 mesh: the scan-fused program on
     sharded state + sharded stacked batches must match per-step dispatch

@@ -1,5 +1,10 @@
 """Swin building blocks: window round-trips, rel-pos index vs torch
 formula, shift-mask parity, model shapes (small configs)."""
+import pytest
+
+# slow tier: excluded from the quick gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import torch
 

@@ -3,6 +3,11 @@ SwinBlock3D sequence bit-for-intent: same weights (stacked vs per-block)
 → same output in eval mode, shifted and unshifted blocks included
 (VERDICT r1 item 2 — the scan exists to cut compile time, not to change
 math)."""
+import pytest
+
+# slow tier: excluded from the quick gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -3,6 +3,11 @@ encoder→decoder mirroring) must populate every encoder block + mirrored
 decoder block + patch-embed + downsample leaf of a real SwinUNet2D tree
 with correct shapes (heads/tables that differ in shape are pruned by the
 loader, as the reference does)."""
+import pytest
+
+# slow tier: excluded from the quick gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

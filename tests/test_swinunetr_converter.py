@@ -1,6 +1,11 @@
 """Full-model SwinUNETR flax↔torch interop (VERDICT r1 item 5): export
 produces the reference/MONAI key layout, the importer inverts it
 exactly, and coverage is total — every flax param leaf round-trips."""
+import pytest
+
+# slow tier: excluded from the quick gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

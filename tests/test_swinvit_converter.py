@@ -2,6 +2,11 @@
 table/patch-embed leaf of a real SwinViT3D tree is produced by the
 converter with the right shape — including the nn.scan STACKED per-stage
 block layout (layers{i}_blocks/blocks/... with a leading block axis)."""
+import pytest
+
+# slow tier: excluded from the quick gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

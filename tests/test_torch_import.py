@@ -2,6 +2,7 @@
 torch.nn.functional, and the UNet2D converter checked structurally
 against a real flax param tree."""
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -62,6 +63,7 @@ def test_linear_transform_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet2d_converter_structure():
     """Every path the converter emits must exist with the right shape in
     a freshly-initialized UNet tree (and cover all its conv/bn leaves)."""

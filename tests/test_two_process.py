@@ -10,6 +10,9 @@ import sys
 
 import pytest
 
+# slow tier: excluded from the quick gate (pytest.ini)
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
 
 
