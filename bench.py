@@ -38,6 +38,21 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 DETAILS_FILE = os.path.join(os.path.dirname(__file__), "BENCH_DETAILS.json")
 T0 = time.time()
 BUDGET = float(os.environ.get("ICL_TPU_BENCH_TOTAL_BUDGET", "900"))
+# bf16 peak of the target chip (v5e: 197 TFLOP/s) — the roofline guard
+# below refuses to promote any number that implies >105% of this.
+PEAK_TFLOPS = float(os.environ.get("ICL_TPU_PEAK_TFLOPS", "197"))
+
+
+def _sync(metrics) -> None:
+    """Materialize the step's loss bytes ON HOST (device_get) as the
+    timing fence. Round-4 finding: `block_until_ready` on this tunneled
+    runtime can report completion early in some phases — one bench
+    window read a scan8 group of 8×852-GFLOP steps in 3.9 ms (1.75
+    PFLOP/s on a 197 TFLOP/s chip, physically impossible), while
+    device_get/-state syncs in the same session agreed with each other
+    and with enqueue-only wall clocks. Host-materialized bytes cannot
+    lie; the extra scalar D2H is one tunnel RTT, amortized for scans."""
+    np.asarray(metrics["loss"])
 
 
 def remaining() -> float:
@@ -78,7 +93,7 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
     base_rng = jax.random.PRNGKey(1)
     t0 = time.time()
     state, m = trainer.step_auto(state, batch, base_rng)
-    jax.block_until_ready(m["loss"])
+    _sync(m)
     compile_s = time.time() - t0
 
     flops = None
@@ -101,7 +116,7 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
     for i in range(steps):
         t0 = time.perf_counter()
         state, m = trainer.step_auto(state, batch, base_rng)
-        jax.block_until_ready(m["loss"])
+        _sync(m)
         step_times.append(time.perf_counter() - t0)
     wall_total = time.perf_counter() - t_wall
     p10, p50, p90 = (float(np.percentile(step_times, q)) for q in (10, 50, 90))
@@ -139,14 +154,14 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
             stacked = jax.tree.map(lambda x: jnp.stack([x] * scan_k), batch)
             t0 = time.time()
             state, ms = scan_fn(state, {}, stacked, base_rng)
-            jax.block_until_ready(ms["loss"])
+            _sync(ms)
             out[f"scan{scan_k}_compile_s"] = round(time.time() - t0, 1)
             group_times = []
             n_groups = max(10, steps // scan_k)
             for _ in range(n_groups):
                 t0 = time.perf_counter()
                 state, ms = scan_fn(state, {}, stacked, base_rng)
-                jax.block_until_ready(ms["loss"])
+                _sync(ms)
                 group_times.append(time.perf_counter() - t0)
             gp10, gp50, gp90 = (
                 float(np.percentile(group_times, q)) for q in (10, 50, 90)
@@ -155,6 +170,14 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
             out[f"scan{scan_k}_p50_ms_per_step"] = round(gp50 / scan_k * 1e3, 3)
             out[f"scan{scan_k}_p90_ms_per_step"] = round(gp90 / scan_k * 1e3, 3)
             out[f"scan{scan_k}_steps_per_sec_p50"] = round(scan_k / gp50, 3)
+            # roofline guard: a per-step latency implying more than the
+            # chip's bf16 peak is a measurement artifact, never promote it
+            num = analytic or flops
+            if num:
+                implied = num * scan_k / gp50 / 1e12
+                out[f"scan{scan_k}_implied_tflops"] = round(implied, 6)
+                if implied > PEAK_TFLOPS * 1.05:
+                    out[f"scan{scan_k}_roofline_violation"] = True
         except Exception as e:  # pragma: no cover - device-specific
             out[f"scan{scan_k}_error"] = f"{type(e).__name__}: {e}"[:200]
     if eval_2d and os.environ.get("ICL_TPU_BENCH_EVAL", "1") != "0":
@@ -275,7 +298,11 @@ def main():
         eval_2d=True,
     )
     scan_key = f"scan{SCAN_K}_steps_per_sec_p50"
-    if SCAN_K > 1 and flagship.get(scan_key, 0) > flagship["steps_per_sec_p50"]:
+    if (
+        SCAN_K > 1
+        and flagship.get(scan_key, 0) > flagship["steps_per_sec_p50"]
+        and not flagship.get(f"scan{SCAN_K}_roofline_violation")
+    ):
         headline_sps = flagship[scan_key]
         stat = f"p50 per-step, {SCAN_K}-step scan groups (cfg.scan_steps)"
         # keep the top-level latency percentiles CONSISTENT with the
@@ -323,6 +350,13 @@ def main():
         "unit": "slices/sec",
         "vs_baseline": round(slices_per_sec / baseline, 3),
         "stat": stat,
+        **(
+            {"roofline_anomaly": True}
+            if (num := flagship.get("analytic_flops_per_step")
+                or flagship.get("xla_cost_flops_per_step"))
+            and headline_sps * num / 1e12 > PEAK_TFLOPS * 1.05
+            else {}
+        ),
         "p10_ms": round(p10 * 1e3, 3),
         "p50_ms": round(p50 * 1e3, 3),
         "p90_ms": round(p90 * 1e3, 3),

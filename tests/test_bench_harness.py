@@ -118,6 +118,61 @@ def test_main_skips_families_when_budget_exhausted(monkeypatch, capsys, tmp_path
     assert skipped and all("skipped" in v for v in skipped)
 
 
+def test_main_roofline_guard_rejects_impossible_scan(monkeypatch, capsys, tmp_path):
+    """Round-4 finding: one chip window reported a scan8 per-step latency
+    implying 1.75 PFLOP/s on a 197 TFLOP/s chip (block_until_ready
+    returning early on the tunneled runtime). The headline selection must
+    refuse to promote a scan number that breaks the roofline, falling
+    back to the per-step measurement."""
+    import json
+
+    import bench
+
+    def fake_family(cfg, shape, ncls, steps, **kw):
+        fam = _canned_family()
+        # 100 steps/s at 10 TFLOP/step = 1000 TFLOP/s >> 197 peak
+        fam["analytic_flops_per_step"] = 1e13
+        fam["analytic_tflops_at_p50"] = 100.0
+        fam["scan8_steps_per_sec_p50"] = 2000.0
+        fam["scan8_p10_ms_per_step"] = 0.45
+        fam["scan8_p50_ms_per_step"] = 0.5
+        fam["scan8_p90_ms_per_step"] = 0.6
+        fam["scan8_implied_tflops"] = 2e4
+        fam["scan8_roofline_violation"] = True
+        return fam
+
+    monkeypatch.setattr(bench, "time_family", fake_family)
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    monkeypatch.setenv("ICL_TPU_BENCH_FAMILIES", "flagship")
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    first = json.loads(lines[0])
+    # fell back to per-step (100 steps/s × bs16), not the impossible scan
+    assert first["value"] == 100.0 * 16
+    assert "scan" not in first["stat"]
+    # per-step itself implies 1000 TFLOP/s here — flagged, not hidden
+    assert first.get("roofline_anomaly") is True
+
+
+def test_time_family_scan_roofline_flag_tiny_cpu(monkeypatch):
+    """time_family must attach the violation flag when the measured scan
+    latency is impossibly fast for the counted FLOPs (forced here by a
+    tiny fake peak)."""
+    import bench
+
+    monkeypatch.setattr(bench, "PEAK_TFLOPS", 1e-9)
+    cfg = ExperimentConfig(
+        model="unet", patch_size=(16, 16), batch_size=4, labeled_bs=2,
+        max_iterations=100,
+    )
+    out = bench.time_family(cfg, (4, 16, 16, 1), 4, steps=4, scan_k=2)
+    assert out.get("scan2_implied_tflops", 0) > 0
+    assert out.get("scan2_roofline_violation") is True
+
+
 def test_time_family_analytic_flops_tiny_cpu():
     import bench
 
