@@ -41,6 +41,9 @@ BUDGET = float(os.environ.get("ICL_TPU_BENCH_TOTAL_BUDGET", "900"))
 # bf16 peak of the target chip (v5e: 197 TFLOP/s) — the roofline guard
 # below refuses to promote any number that implies >105% of this.
 PEAK_TFLOPS = float(os.environ.get("ICL_TPU_PEAK_TFLOPS", "197"))
+# set once any real artifact line has been printed: the watchdog then
+# never overwrites it with a zero line
+ARTIFACT_OUT = {"yes": False}
 
 
 def _sync(metrics) -> None:
@@ -60,7 +63,8 @@ def remaining() -> float:
 
 
 def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
-                eval_2d: bool = False, eval_3d: bool = False):
+                eval_2d: bool = False, eval_3d: bool = False,
+                on_first_window=None):
     """Compile + warmup one jitted train step, then `steps` blocked
     per-step timings. Returns dict with p10/p50/p90 (ms), steps/s (p50),
     XLA cost-model FLOPs/step, and the hand-derived analytic FLOPs/step
@@ -123,6 +127,13 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
 
     state, m, step_times, wall_total = timed_window(state, m)
     windows_p50 = [float(np.percentile(step_times, 50))]
+    if on_first_window is not None:
+        # degraded-tunnel escape hatch: the caller may emit a provisional
+        # artifact from the first real percentiles before the (budget-
+        # hungry) retry/scan/eval refinements run
+        on_first_window(
+            *(float(np.percentile(step_times, q)) for q in (10, 50, 90))
+        )
     # Slow-phase retry: this shared tunneled chip oscillates ~20× between
     # phases (round-4 probe: 8.5 ms vs 168 ms for the same step). If the
     # window implies <8% of peak for the counted FLOPs and budget allows,
@@ -271,7 +282,7 @@ def _arm_watchdog(timeout_s: float, note: str, emit_zero: bool = True):
     import threading
 
     def fire():
-        if emit_zero:
+        if emit_zero and not ARTIFACT_OUT["yes"]:
             print(json.dumps({
                 "metric": "acdc_icl_unet_train_slices_per_sec",
                 "value": 0.0,
@@ -298,8 +309,11 @@ def main():
         "device discovery hung (tunnel unreachable)")
     jax.devices()
     wd.cancel()
+    # headroom over the budget: a degraded tunnel loaded the compile
+    # cache in 891 s (round 4) — a slow compile must not be zero-lined,
+    # only a genuine hang; the provisional emit below covers slowness.
     wd = _arm_watchdog(
-        max(remaining(), 60.0),
+        max(remaining(), 60.0) + 420.0,
         "flagship exceeded the total budget")
 
     batch_size, labeled_bs, patch = 16, 8, 256
@@ -319,9 +333,40 @@ def main():
     # p10/p90 spread are reported alongside (this tunneled chip
     # oscillates between ~4ms phases and >100ms stall spikes).
     SCAN_K = int(os.environ.get("ICL_TPU_BENCH_SCAN", "8"))
+    provisional = {"emitted": False}
+
+    def emit_provisional(w10, w50, w90):
+        # Degraded-tunnel escape hatch: when compile+discovery already ate
+        # most of the budget (round 4: cache LOAD alone took 891 s), print
+        # an honest per-step artifact line NOW — a later kill then costs
+        # the refinements (retries/scan/eval/families), not the round.
+        if time.time() - T0 < 0.6 * BUDGET:
+            return
+        sps = 16.0 / w50 if w50 else 0.0
+        vsb = 1.0
+        try:
+            rec = json.load(open(BASELINE_FILE))
+            if rec.get("stat") == "p50":
+                vsb = round(sps / rec["value"], 3)
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "acdc_icl_unet_train_slices_per_sec",
+            "value": round(sps, 3),
+            "unit": "slices/sec",
+            "vs_baseline": vsb,
+            "stat": "PROVISIONAL p50 of first window (budget-pressed)",
+            "p10_ms": round(w10 * 1e3, 3),
+            "p50_ms": round(w50 * 1e3, 3),
+            "p90_ms": round(w90 * 1e3, 3),
+            "provisional": True,
+        }), flush=True)
+        provisional["emitted"] = True
+        ARTIFACT_OUT["yes"] = True
+
     flagship = time_family(
         cfg, (batch_size, patch, patch, 1), 4, steps=150, scan_k=SCAN_K,
-        eval_2d=True,
+        eval_2d=True, on_first_window=emit_provisional,
     )
     scan_key = f"scan{SCAN_K}_steps_per_sec_p50"
     if (
@@ -376,6 +421,7 @@ def main():
         "unit": "slices/sec",
         "vs_baseline": round(slices_per_sec / baseline, 3),
         "stat": stat,
+        **({"supersedes_provisional": True} if provisional["emitted"] else {}),
         **(
             {"roofline_anomaly": True}
             if (num := flagship.get("analytic_flops_per_step")
@@ -391,6 +437,7 @@ def main():
     # CRASH-SAFE EMIT: the round artifact exists from this point on,
     # whatever happens to the secondary families below.
     print(json.dumps(headline), flush=True)
+    ARTIFACT_OUT["yes"] = True
     wd.cancel()
     wd = _arm_watchdog(max(remaining(), 30.0) + 120.0,
                        "families overran", emit_zero=False)

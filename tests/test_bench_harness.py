@@ -118,6 +118,88 @@ def test_main_skips_families_when_budget_exhausted(monkeypatch, capsys, tmp_path
     assert skipped and all("skipped" in v for v in skipped)
 
 
+def test_main_provisional_emit_under_budget_pressure(monkeypatch, capsys, tmp_path):
+    """Degraded-tunnel escape hatch: when compile already ate >60% of the
+    budget, the first timed window must produce an immediate provisional
+    artifact line; the final headline then marks that it supersedes it."""
+    import json
+    import time
+
+    import bench
+
+    def fake_family(cfg, shape, ncls, steps, on_first_window=None, **kw):
+        if on_first_window is not None:
+            on_first_window(0.009, 0.010, 0.011)
+        return _canned_family()
+
+    monkeypatch.setattr(bench, "time_family", fake_family)
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    monkeypatch.setattr(bench, "T0", time.time() - 0.7 * bench.BUDGET)
+    monkeypatch.setattr(bench, "ARTIFACT_OUT", {"yes": False})
+    monkeypatch.setenv("ICL_TPU_BENCH_FAMILIES", "flagship")
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    recs = [json.loads(l) for l in lines]
+    assert recs[0].get("provisional") is True
+    assert recs[0]["value"] == round(16.0 / 0.010, 3)
+    assert recs[0]["p50_ms"] == 10.0
+    # the full headline still follows and flags the supersession
+    assert recs[1].get("supersedes_provisional") is True
+    assert recs[1]["value"] == 100.0 * 16
+    assert bench.ARTIFACT_OUT["yes"] is True
+
+
+def test_main_no_provisional_when_budget_healthy(monkeypatch, capsys, tmp_path):
+    import json
+
+    import bench
+
+    def fake_family(cfg, shape, ncls, steps, on_first_window=None, **kw):
+        if on_first_window is not None:
+            on_first_window(0.009, 0.010, 0.011)  # called, but budget is fresh
+        return _canned_family()
+
+    monkeypatch.setattr(bench, "time_family", fake_family)
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    import time as _t
+    monkeypatch.setattr(bench, "T0", _t.time())
+    monkeypatch.setenv("ICL_TPU_BENCH_FAMILIES", "flagship")
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    recs = [json.loads(l) for l in lines]
+    assert not any(r.get("provisional") for r in recs)
+    assert "supersedes_provisional" not in recs[0]
+
+
+def test_watchdog_suppresses_zero_line_after_artifact(monkeypatch):
+    """Once a real artifact line is out, a firing watchdog must exit
+    without printing the zero line over it."""
+    import subprocess
+    import sys
+
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import time\n"
+        "import bench\n"
+        "bench.ARTIFACT_OUT['yes'] = True\n"
+        "bench._arm_watchdog(0.2, 'unit-test hang')\n"
+        "time.sleep(10)\n"
+    ) % repo_root
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=60)
+    assert r.returncode == 2
+    assert not [l for l in r.stdout.splitlines() if l.startswith("{")]
+
+
 def test_main_roofline_guard_rejects_impossible_scan(monkeypatch, capsys, tmp_path):
     """Round-4 finding: one chip window reported a scan8 per-step latency
     implying 1.75 PFLOP/s on a 197 TFLOP/s chip (block_until_ready
