@@ -443,44 +443,57 @@ def main():
                        "families overran", emit_zero=False)
 
     families = {"icl_unet_acdc": dict(flagship, slices_per_sec=round(slices_per_sec, 1))}
+
+    def write_details():
+        # incremental: each completed family lands on disk immediately, so
+        # a mid-run kill keeps everything measured so far
+        try:
+            with open(DETAILS_FILE, "w") as f:
+                json.dump(dict(headline, families=families,
+                               wall_s=round(time.time() - T0, 1)), f, indent=1)
+        except Exception:
+            pass
+
+    write_details()
     if os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship":
         # (config builder, batch shape, classes, steps, kwargs, est cost s)
+        # 3D families first: their round-3 table rows were corrupted by a
+        # transcription slip and re-measuring them is the priority when
+        # the budget only covers part of the list.
         secondaries = [
-            ("icl_swinunet_acdc",
-             ExperimentConfig(
-                 model="icl_swinunet", patch_size=(224, 224), batch_size=16,
-                 labeled_bs=8, max_iterations=30000, precision="bfloat16"),
-             (16, 224, 224, 1), 4, 50, {}, 120.0),
-            ("unet_3d_icl_brats",
-             ExperimentConfig(
-                 model="unet_3D_icl", patch_size=(96, 96, 96), batch_size=4,
-                 labeled_bs=2, num_classes=2, max_iterations=30000,
-                 consis_weight=10.0, precision="bfloat16"),
-             (4, 96, 96, 96, 1), 2, 50, {}, 120.0),
             ("swinunetr_icl_brats",
              ExperimentConfig(
                  model="swinunetr_icl", patch_size=(96, 96, 96), batch_size=4,
                  labeled_bs=2, num_classes=2, max_iterations=30000,
                  consis_weight=10.0, remat=True, precision="bfloat16"),
              (4, 96, 96, 96, 1), 2, 50, {"eval_3d": True}, 240.0),
+            ("unet_3d_icl_brats",
+             ExperimentConfig(
+                 model="unet_3D_icl", patch_size=(96, 96, 96), batch_size=4,
+                 labeled_bs=2, num_classes=2, max_iterations=30000,
+                 consis_weight=10.0, precision="bfloat16"),
+             (4, 96, 96, 96, 1), 2, 50, {}, 120.0),
+            ("icl_swinunet_acdc",
+             ExperimentConfig(
+                 model="icl_swinunet", patch_size=(224, 224), batch_size=16,
+                 labeled_bs=8, max_iterations=30000, precision="bfloat16"),
+             (16, 224, 224, 1), 4, 50, {}, 120.0),
         ]
         for name, fcfg, shape, ncls, steps, kw, est in secondaries:
             if remaining() < est:
                 families[name] = {
                     "skipped": f"budget: {remaining():.0f}s left < {est:.0f}s estimate"
                 }
+                write_details()
                 continue
             try:
                 families[name] = time_family(fcfg, shape, ncls, steps, **kw)
             except Exception as e:  # pragma: no cover - device-specific
                 families[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            write_details()
 
     enriched = dict(headline, families=families, wall_s=round(time.time() - T0, 1))
-    try:
-        with open(DETAILS_FILE, "w") as f:
-            json.dump(enriched, f, indent=1)
-    except Exception:
-        pass
+    write_details()
     # final line repeats the SAME headline numbers (+ families): whichever
     # JSON line the driver parses, the flagship values are identical.
     print(json.dumps(enriched), flush=True)
