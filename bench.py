@@ -62,6 +62,45 @@ def remaining() -> float:
     return BUDGET - (time.time() - T0)
 
 
+def _measure_scan(trainer, state, batch, base_rng, k: int, steps: int,
+                  out: dict, flops_num, n_groups: int = 0):
+    """Time k-step scan groups (ONE dispatch per group, device_get fence
+    on the k host-materialized losses); writes scan{k}_* keys into `out`
+    and returns the (donated-through) state. Any failure degrades to the
+    already-recorded numbers instead of sinking the bench."""
+    try:
+        scan_fn = trainer.scan_step(k)
+        stacked = jax.tree.map(lambda x: jnp.stack([x] * k), batch)
+        t0 = time.time()
+        state, ms = scan_fn(state, {}, stacked, base_rng)
+        _sync(ms)
+        out[f"scan{k}_compile_s"] = round(time.time() - t0, 1)
+        group_times = []
+        n_groups = n_groups or max(10, steps // k)
+        for _ in range(n_groups):
+            t0 = time.perf_counter()
+            state, ms = scan_fn(state, {}, stacked, base_rng)
+            _sync(ms)
+            group_times.append(time.perf_counter() - t0)
+        gp10, gp50, gp90 = (
+            float(np.percentile(group_times, q)) for q in (10, 50, 90)
+        )
+        out[f"scan{k}_p10_ms_per_step"] = round(gp10 / k * 1e3, 3)
+        out[f"scan{k}_p50_ms_per_step"] = round(gp50 / k * 1e3, 3)
+        out[f"scan{k}_p90_ms_per_step"] = round(gp90 / k * 1e3, 3)
+        out[f"scan{k}_steps_per_sec_p50"] = round(k / gp50, 3)
+        # roofline guard: a per-step latency implying more than the
+        # chip's bf16 peak is a measurement artifact, never promote it
+        if flops_num:
+            implied = flops_num * k / gp50 / 1e12
+            out[f"scan{k}_implied_tflops"] = round(implied, 6)
+            if implied > PEAK_TFLOPS * 1.05:
+                out[f"scan{k}_roofline_violation"] = True
+    except Exception as e:  # pragma: no cover - device-specific
+        out[f"scan{k}_error"] = f"{type(e).__name__}: {e}"[:200]
+    return state
+
+
 def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                 eval_2d: bool = False, eval_3d: bool = False,
                 on_first_window=None):
@@ -186,37 +225,36 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
         # dispatch is tested (tests/test_train_smoke.py scan tests).
         # Fail-safe: any scan-path failure degrades to the per-step
         # numbers above instead of sinking the whole bench.
-        try:
-            scan_fn = trainer.scan_step(scan_k)
-            stacked = jax.tree.map(lambda x: jnp.stack([x] * scan_k), batch)
-            t0 = time.time()
-            state, ms = scan_fn(state, {}, stacked, base_rng)
-            _sync(ms)
-            out[f"scan{scan_k}_compile_s"] = round(time.time() - t0, 1)
-            group_times = []
-            n_groups = max(10, steps // scan_k)
-            for _ in range(n_groups):
-                t0 = time.perf_counter()
-                state, ms = scan_fn(state, {}, stacked, base_rng)
-                _sync(ms)
-                group_times.append(time.perf_counter() - t0)
-            gp10, gp50, gp90 = (
-                float(np.percentile(group_times, q)) for q in (10, 50, 90)
-            )
-            out[f"scan{scan_k}_p10_ms_per_step"] = round(gp10 / scan_k * 1e3, 3)
-            out[f"scan{scan_k}_p50_ms_per_step"] = round(gp50 / scan_k * 1e3, 3)
-            out[f"scan{scan_k}_p90_ms_per_step"] = round(gp90 / scan_k * 1e3, 3)
-            out[f"scan{scan_k}_steps_per_sec_p50"] = round(scan_k / gp50, 3)
-            # roofline guard: a per-step latency implying more than the
-            # chip's bf16 peak is a measurement artifact, never promote it
-            num = analytic or flops
-            if num:
-                implied = num * scan_k / gp50 / 1e12
-                out[f"scan{scan_k}_implied_tflops"] = round(implied, 6)
-                if implied > PEAK_TFLOPS * 1.05:
-                    out[f"scan{scan_k}_roofline_violation"] = True
-        except Exception as e:  # pragma: no cover - device-specific
-            out[f"scan{scan_k}_error"] = f"{type(e).__name__}: {e}"[:200]
+        state = _measure_scan(trainer, state, batch, base_rng, scan_k,
+                              steps, out, analytic or flops)
+        # RTT-bound escalation: on a degraded tunnel the per-dispatch
+        # round trip dominates even scan8 windows (round-4: ~25-170 ms
+        # RTT vs 4.3 ms/step compute). When the scan_k window still sits
+        # well above the per-step compute the dispatch overhead implies,
+        # time ONE larger window (4·scan_k): it amortizes the RTT 4×
+        # further, and the two honest window sizes give an RTT-FREE
+        # per-step estimate by linear fit (t_window = RTT + K·t_step).
+        k_p50 = out.get(f"scan{scan_k}_p50_ms_per_step")
+        # RTT estimate from the two modes already measured:
+        # dispatch = RTT + s, scanK/step = RTT/K + s → their gap ≈ RTT
+        rtt_est = out["p50_ms"] - k_p50 if k_p50 is not None else 0.0
+        if (
+            k_p50 is not None
+            and not out.get(f"scan{scan_k}_roofline_violation")
+            and rtt_est / scan_k > 0.10 * k_p50  # scanK reading still >10% RTT
+            and remaining() > 240
+            and jax.default_backend() != "cpu"
+        ):
+            k2 = scan_k * 4
+            state = _measure_scan(trainer, state, batch, base_rng, k2,
+                                  steps, out, analytic or flops, n_groups=5)
+            k2_p50 = out.get(f"scan{k2}_p50_ms_per_step")
+            if k2_p50 is not None:
+                # two-point fit: window(K) = RTT + K·t_step
+                t_step = (k2_p50 * k2 - k_p50 * scan_k) / (k2 - scan_k)
+                out["rtt_free_ms_per_step_est"] = round(t_step, 3)
+                out["dispatch_rtt_ms_est"] = round(
+                    k_p50 * scan_k - t_step * scan_k, 3)
     if eval_2d and os.environ.get("ICL_TPU_BENCH_EVAL", "1") != "0":
         # Serving path: the reference's per-slice cuda round-trip loop
         # (val_2D.py:35-55) becomes ONE jitted batched program per
@@ -368,19 +406,26 @@ def main():
         cfg, (batch_size, patch, patch, 1), 4, steps=150, scan_k=SCAN_K,
         eval_2d=True, on_first_window=emit_provisional,
     )
-    scan_key = f"scan{SCAN_K}_steps_per_sec_p50"
-    if (
-        SCAN_K > 1
-        and flagship.get(scan_key, 0) > flagship["steps_per_sec_p50"]
-        and not flagship.get(f"scan{SCAN_K}_roofline_violation")
-    ):
-        headline_sps = flagship[scan_key]
-        stat = f"p50 per-step, {SCAN_K}-step scan groups (cfg.scan_steps)"
+    # headline = the best NON-VIOLATING measured mode: per-step dispatch,
+    # the SCAN_K window, or the RTT-escalated 4·SCAN_K window (all are
+    # reachable fit() configs via cfg.scan_steps; all device_get-fenced)
+    best_k = 0
+    for k in (SCAN_K, SCAN_K * 4) if SCAN_K > 1 else ():
+        sps = flagship.get(f"scan{k}_steps_per_sec_p50", 0)
+        if (
+            not flagship.get(f"scan{k}_roofline_violation")
+            and sps > flagship["steps_per_sec_p50"]
+            and sps > flagship.get(f"scan{best_k}_steps_per_sec_p50", 0)
+        ):
+            best_k = k
+    if best_k:
+        headline_sps = flagship[f"scan{best_k}_steps_per_sec_p50"]
+        stat = f"p50 per-step, {best_k}-step scan groups (cfg.scan_steps)"
         # keep the top-level latency percentiles CONSISTENT with the
         # headline (scan per-step times); dispatch-mode percentiles stay
         # in the families dict under their pXX_ms keys
         p10, p50, p90 = (
-            flagship[f"scan{SCAN_K}_{q}_ms_per_step"] / 1e3
+            flagship[f"scan{best_k}_{q}_ms_per_step"] / 1e3
             for q in ("p10", "p50", "p90")
         )
     else:

@@ -83,6 +83,24 @@ class ExperimentConfig:
     # several minutes). "" disables.
     compile_cache_dir: str = "~/.cache/icl_tpu_jax"
 
+    def __post_init__(self):
+        # Fail loud at config time: a labeled_bs above batch_size turns
+        # the unlabeled sub-batch count negative deep inside the jitted
+        # step (surfaces as a cryptic negative broadcast_in_dim shape).
+        # The reference has the same latent trap (its [labeled_bs:]
+        # slices silently go empty); here it is a config error.
+        if not 0 < self.labeled_bs <= self.batch_size:
+            raise ValueError(
+                f"labeled_bs={self.labeled_bs} must be in [1, batch_size="
+                f"{self.batch_size}] — shrinking --batch_size requires "
+                f"shrinking --labeled_bs with it"
+            )
+        if self.scan_steps < 1 or self.grad_accum < 1:
+            raise ValueError(
+                f"scan_steps ({self.scan_steps}) and grad_accum "
+                f"({self.grad_accum}) must be >= 1"
+            )
+
     @property
     def snapshot_path(self) -> str:
         # Reference layout: ../experiments/{exp}_{labeled_num}_labeled/

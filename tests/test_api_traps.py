@@ -85,3 +85,22 @@ def test_merge_trees_nested_semantics():
     out = merge_trees(base, overlay)
     assert out == {"a": {"x": 1, "y": 20}, "b": 3}
     assert base == {"a": {"x": 1, "y": 2}, "b": 3}  # no mutation
+
+
+def test_config_rejects_labeled_bs_above_batch_size():
+    """Round-4 verify finding: --batch_size 4 with the default
+    labeled_bs=8 produced a negative unlabeled sub-batch that surfaced
+    as `broadcast_in_dim shape (-4, 64, 64, 1)` deep inside the jitted
+    step. The config must fail loud instead."""
+    import pytest
+
+    from icl_tpu.config import ExperimentConfig
+
+    with pytest.raises(ValueError, match="labeled_bs"):
+        ExperimentConfig(batch_size=4, labeled_bs=8)
+    with pytest.raises(ValueError, match="labeled_bs"):
+        ExperimentConfig(batch_size=4, labeled_bs=0)
+    with pytest.raises(ValueError, match="scan_steps"):
+        ExperimentConfig(scan_steps=0)
+    # boundary: fully-supervised configs use labeled_bs == batch_size
+    ExperimentConfig(batch_size=4, labeled_bs=4)

@@ -17,7 +17,7 @@ def _batch(rng, n=4, s=16):
 
 def test_checkpoint_resume_roundtrip(tmp_path):
     cfg = ExperimentConfig(
-        model="unet", patch_size=(16, 16), batch_size=4, max_iterations=100,
+        model="unet", patch_size=(16, 16), batch_size=4, labeled_bs=2, max_iterations=100,
         experiments_dir=str(tmp_path), exp="resume",
     )
     tr = Trainer(cfg)
@@ -47,7 +47,7 @@ def test_checkpoint_resume_roundtrip(tmp_path):
 
 def test_rolling_checkpoints_prune_to_keep_last_n(tmp_path):
     cfg = ExperimentConfig(
-        model="unet", patch_size=(16, 16), batch_size=4, max_iterations=100,
+        model="unet", patch_size=(16, 16), batch_size=4, labeled_bs=2, max_iterations=100,
         experiments_dir=str(tmp_path), exp="rolling",
     )
     tr = Trainer(cfg)
@@ -192,7 +192,7 @@ def test_rolling_streaming_dialect_and_mixed_pruning(tmp_path):
     from icl_tpu.utils import checkpoint as ck
 
     cfg = ExperimentConfig(
-        model="unet", patch_size=(16, 16), batch_size=4, max_iterations=100,
+        model="unet", patch_size=(16, 16), batch_size=4, labeled_bs=2, max_iterations=100,
         experiments_dir=str(tmp_path), exp="rollstream",
     )
     tr = Trainer(cfg)
