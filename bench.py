@@ -101,6 +101,49 @@ def _measure_scan(trainer, state, batch, base_rng, k: int, steps: int,
     return state
 
 
+def _measure_pipelined(step_call, state, k: int, m: int, reps: int,
+                       out: dict, flops_num):
+    """Time m back-to-back ASYNC dispatches of an ALREADY-COMPILED
+    k-step program with ONE end fence. The donated state threads through
+    every dispatch, so device_get of the last metrics transitively waits
+    on all m·k steps — the fence cannot under-count. This is fit()'s
+    real dispatch discipline (no per-step fence; metric D2H overlaps
+    compute, trainer.py) and, unlike the 4·K scan escalation, needs NO
+    new compile — on a degraded tunnel it amortizes the per-dispatch
+    round trip m× for free. If enqueue itself is synchronous on this
+    runtime (the round-3 bounded-queue experiment suggested so in some
+    phases), the numbers simply match the blocked mode — recorded either
+    way as evidence. Writes pipe{k}x{m}_* keys; sets out['pipelined_key']
+    on success so the headline picker can find the mode generically."""
+    key = f"pipe{k}x{m}"
+    try:
+        times = []
+        for _ in range(reps):
+            ms = None
+            t0 = time.perf_counter()
+            for _ in range(m):
+                state, ms = step_call(state)
+            _sync(ms)
+            times.append(time.perf_counter() - t0)
+        per_step = [t / (m * k) for t in times]
+        p10, p50, p90 = (
+            float(np.percentile(per_step, q)) for q in (10, 50, 90)
+        )
+        out[f"{key}_p10_ms_per_step"] = round(p10 * 1e3, 3)
+        out[f"{key}_p50_ms_per_step"] = round(p50 * 1e3, 3)
+        out[f"{key}_p90_ms_per_step"] = round(p90 * 1e3, 3)
+        out[f"{key}_steps_per_sec_p50"] = round(1.0 / p50, 3)
+        if flops_num:
+            implied = flops_num / p50 / 1e12
+            out[f"{key}_implied_tflops"] = round(implied, 6)
+            if implied > PEAK_TFLOPS * 1.05:
+                out[f"{key}_roofline_violation"] = True
+        out["pipelined_key"] = key
+    except Exception as e:  # pragma: no cover - device-specific
+        out[f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
+    return state
+
+
 def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                 eval_2d: bool = False, eval_3d: bool = False,
                 on_first_window=None):
@@ -255,6 +298,22 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                 out["rtt_free_ms_per_step_est"] = round(t_step, 3)
                 out["dispatch_rtt_ms_est"] = round(
                     k_p50 * scan_k - t_step * scan_k, 3)
+        # Pipelined mode: m async dispatches of the ALREADY-COMPILED
+        # scan_k program, one end fence (fit()'s dispatch discipline;
+        # zero extra compile — see _measure_pipelined).
+        if k_p50 is not None and remaining() > 120:
+            scan_fn = trainer.scan_step(scan_k)
+            stacked = jax.tree.map(lambda x: jnp.stack([x] * scan_k), batch)
+            state = _measure_pipelined(
+                lambda st: scan_fn(st, {}, stacked, base_rng), state,
+                scan_k, m=8, reps=3, out=out, flops_num=analytic or flops,
+            )
+    elif remaining() > 120:
+        # no scan mode: pipeline the per-step program itself
+        state = _measure_pipelined(
+            lambda st: trainer.step_auto(st, batch, base_rng), state,
+            1, m=32, reps=3, out=out, flops_num=analytic or flops,
+        )
     if eval_2d and os.environ.get("ICL_TPU_BENCH_EVAL", "1") != "0":
         # Serving path: the reference's per-slice cuda round-trip loop
         # (val_2D.py:35-55) becomes ONE jitted batched program per
@@ -407,25 +466,30 @@ def main():
         eval_2d=True, on_first_window=emit_provisional,
     )
     # headline = the best NON-VIOLATING measured mode: per-step dispatch,
-    # the SCAN_K window, or the RTT-escalated 4·SCAN_K window (all are
-    # reachable fit() configs via cfg.scan_steps; all device_get-fenced)
-    best_k = 0
-    for k in (SCAN_K, SCAN_K * 4) if SCAN_K > 1 else ():
-        sps = flagship.get(f"scan{k}_steps_per_sec_p50", 0)
-        if (
-            not flagship.get(f"scan{k}_roofline_violation")
-            and sps > flagship["steps_per_sec_p50"]
-            and sps > flagship.get(f"scan{best_k}_steps_per_sec_p50", 0)
-        ):
-            best_k = k
-    if best_k:
-        headline_sps = flagship[f"scan{best_k}_steps_per_sec_p50"]
-        stat = f"p50 per-step, {best_k}-step scan groups (cfg.scan_steps)"
+    # the SCAN_K window, the RTT-escalated 4·SCAN_K window, or the
+    # pipelined-dispatch window (all are reachable fit() configs via
+    # cfg.scan_steps + fit()'s async dispatch; all device_get-fenced)
+    candidates = [f"scan{k}" for k in ((SCAN_K, SCAN_K * 4) if SCAN_K > 1 else ())]
+    if flagship.get("pipelined_key"):
+        candidates.append(flagship["pipelined_key"])
+    best = ""
+    best_sps = flagship["steps_per_sec_p50"]
+    for mode in candidates:
+        sps = flagship.get(f"{mode}_steps_per_sec_p50", 0)
+        if not flagship.get(f"{mode}_roofline_violation") and sps > best_sps:
+            best, best_sps = mode, sps
+    if best:
+        headline_sps = best_sps
+        desc = (f"{best[4:]}-step scan groups (cfg.scan_steps)"
+                if best.startswith("scan") else
+                f"pipelined {best[4:].replace('x', '-step scan groups × ')}"
+                " async dispatches, single end fence (fit() discipline)")
+        stat = f"p50 per-step, {desc}"
         # keep the top-level latency percentiles CONSISTENT with the
         # headline (scan per-step times); dispatch-mode percentiles stay
         # in the families dict under their pXX_ms keys
         p10, p50, p90 = (
-            flagship[f"scan{best_k}_{q}_ms_per_step"] / 1e3
+            flagship[f"{best}_{q}_ms_per_step"] / 1e3
             for q in ("p10", "p50", "p90")
         )
     else:

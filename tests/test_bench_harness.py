@@ -24,6 +24,10 @@ def test_time_family_keys_tiny_cpu():
     assert out["steps_per_sec_wall"] > 0
     assert "scan2_error" not in out, out.get("scan2_error")
     assert out["scan2_steps_per_sec_p50"] > 0
+    # pipelined mode reuses the compiled scan program (no new compile)
+    assert "pipe2x8_error" not in out, out.get("pipe2x8_error")
+    assert out["pipelined_key"] == "pipe2x8"
+    assert out["pipe2x8_steps_per_sec_p50"] > 0
     assert "eval_error" not in out, out.get("eval_error")
     assert out["eval_slices_per_sec_p50"] > 0
     # flops key is optional (backend-dependent) but must be numeric if set
@@ -274,6 +278,41 @@ def test_main_promotes_escalated_scan_window(monkeypatch, capsys, tmp_path):
     assert first["value"] == 200.0 * 16
     assert "32-step scan" in first["stat"]
     assert first["p50_ms"] == 5.0
+
+
+def test_main_promotes_pipelined_mode(monkeypatch, capsys, tmp_path):
+    """When the pipelined-dispatch window (same compiled scan program,
+    m async dispatches, one end fence) beats every scan window and is
+    roofline-legal, the headline must promote it — it is fit()'s real
+    dispatch discipline."""
+    import json
+
+    import bench
+
+    def fake_family(cfg, shape, ncls, steps, **kw):
+        fam = _canned_family()
+        fam["analytic_flops_per_step"] = 1e9
+        fam.update({
+            "scan8_steps_per_sec_p50": 142.9, "scan8_p10_ms_per_step": 6.8,
+            "scan8_p50_ms_per_step": 7.0, "scan8_p90_ms_per_step": 7.4,
+            "pipe8x8_steps_per_sec_p50": 232.6, "pipe8x8_p10_ms_per_step": 4.2,
+            "pipe8x8_p50_ms_per_step": 4.3, "pipe8x8_p90_ms_per_step": 4.5,
+            "pipelined_key": "pipe8x8",
+        })
+        return fam
+
+    monkeypatch.setattr(bench, "time_family", fake_family)
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    monkeypatch.setenv("ICL_TPU_BENCH_FAMILIES", "flagship")
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    first = json.loads(lines[0])
+    assert first["value"] == pytest.approx(232.6 * 16)
+    assert "pipelined" in first["stat"]
+    assert first["p50_ms"] == 4.3
 
 
 def test_main_rejects_violating_escalated_scan(monkeypatch, capsys, tmp_path):
