@@ -270,14 +270,29 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
         # numbers above instead of sinking the whole bench.
         state = _measure_scan(trainer, state, batch, base_rng, scan_k,
                               steps, out, analytic or flops)
+        k_p50 = out.get(f"scan{scan_k}_p50_ms_per_step")
+        # Pipelined mode FIRST — m async dispatches of the ALREADY-
+        # COMPILED scan_k program, one end fence (fit()'s dispatch
+        # discipline; zero extra compile — see _measure_pipelined).
+        if k_p50 is not None and remaining() > 120:
+            scan_fn = trainer.scan_step(scan_k)
+            stacked = jax.tree.map(lambda x: jnp.stack([x] * scan_k), batch)
+            state = _measure_pipelined(
+                lambda st: scan_fn(st, {}, stacked, base_rng), state,
+                scan_k, m=8, reps=3, out=out, flops_num=analytic or flops,
+            )
         # RTT-bound escalation: on a degraded tunnel the per-dispatch
         # round trip dominates even scan8 windows (round-4: ~25-170 ms
         # RTT vs 4.3 ms/step compute). When the scan_k window still sits
-        # well above the per-step compute the dispatch overhead implies,
+        # well above the per-step compute the dispatch overhead implies
+        # AND pipelining did not amortize it (synchronous enqueue phase),
         # time ONE larger window (4·scan_k): it amortizes the RTT 4×
         # further, and the two honest window sizes give an RTT-FREE
         # per-step estimate by linear fit (t_window = RTT + K·t_step).
-        k_p50 = out.get(f"scan{scan_k}_p50_ms_per_step")
+        # The 4·scan_k compile is EXPENSIVE when degraded (fresh program
+        # over the tunnel) — the pipe-ratio gate skips it when the free
+        # mode already resolved the device-bound rate.
+        pipe_p50 = out.get(f"pipe{scan_k}x8_p50_ms_per_step")
         # RTT estimate from the two modes already measured:
         # dispatch = RTT + s, scanK/step = RTT/K + s → their gap ≈ RTT
         rtt_est = out["p50_ms"] - k_p50 if k_p50 is not None else 0.0
@@ -285,6 +300,7 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
             k_p50 is not None
             and not out.get(f"scan{scan_k}_roofline_violation")
             and rtt_est / scan_k > 0.10 * k_p50  # scanK reading still >10% RTT
+            and (pipe_p50 is None or pipe_p50 > 0.6 * k_p50)  # pipe didn't amortize
             and remaining() > 240
             and jax.default_backend() != "cpu"
         ):
@@ -298,16 +314,6 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                 out["rtt_free_ms_per_step_est"] = round(t_step, 3)
                 out["dispatch_rtt_ms_est"] = round(
                     k_p50 * scan_k - t_step * scan_k, 3)
-        # Pipelined mode: m async dispatches of the ALREADY-COMPILED
-        # scan_k program, one end fence (fit()'s dispatch discipline;
-        # zero extra compile — see _measure_pipelined).
-        if k_p50 is not None and remaining() > 120:
-            scan_fn = trainer.scan_step(scan_k)
-            stacked = jax.tree.map(lambda x: jnp.stack([x] * scan_k), batch)
-            state = _measure_pipelined(
-                lambda st: scan_fn(st, {}, stacked, base_rng), state,
-                scan_k, m=8, reps=3, out=out, flops_num=analytic or flops,
-            )
     elif remaining() > 120:
         # no scan mode: pipeline the per-step program itself
         state = _measure_pipelined(
@@ -483,7 +489,8 @@ def main():
         desc = (f"{best[4:]}-step scan groups (cfg.scan_steps)"
                 if best.startswith("scan") else
                 f"pipelined {best[4:].replace('x', '-step scan groups × ')}"
-                " async dispatches, single end fence (fit() discipline)")
+                " async dispatches, single end fence (cfg.scan_steps +"
+                " cfg.dispatch_depth)")
         stat = f"p50 per-step, {desc}"
         # keep the top-level latency percentiles CONSISTENT with the
         # headline (scan per-step times); dispatch-mode percentiles stay
@@ -501,6 +508,15 @@ def main():
     slices_per_sec = headline_sps * batch_size
 
     STAT = "p50"
+    # Degraded-window detection: the shared tunnel oscillates ~20-35×
+    # for hours (BASELINE.md §round-4); a window implying <8% of peak
+    # for the counted FLOPs is tunnel weather, not the framework.
+    hl_flops = (flagship.get("analytic_flops_per_step")
+                or flagship.get("xla_cost_flops_per_step"))
+    degraded = bool(
+        hl_flops and headline_sps * hl_flops / 1e12 < 0.08 * PEAK_TFLOPS
+        and jax.default_backend() != "cpu"
+    )
     baseline = None
     if os.path.exists(BASELINE_FILE):
         try:
@@ -510,18 +526,23 @@ def main():
                 baseline = rec["value"]
         except Exception:
             baseline = None
+    baseline_is_self = baseline is None
     if baseline is None:
-        with open(BASELINE_FILE, "w") as f:
-            json.dump(
-                {
-                    "metric": "acdc_icl_unet_train_slices_per_sec",
-                    "value": slices_per_sec,
-                    "stat": STAT,
-                    "note": "first-run self baseline on this hardware",
-                    "device": str(jax.devices()[0]),
-                },
-                f,
-            )
+        # NEVER persist a degraded window as the self-baseline: it would
+        # inflate every later healthy run's vs_baseline ~20-35×. Report
+        # vs_baseline=1.0 un-persisted and let a healthy run set it.
+        if not degraded:
+            with open(BASELINE_FILE, "w") as f:
+                json.dump(
+                    {
+                        "metric": "acdc_icl_unet_train_slices_per_sec",
+                        "value": slices_per_sec,
+                        "stat": STAT,
+                        "note": "first-run self baseline on this hardware",
+                        "device": str(jax.devices()[0]),
+                    },
+                    f,
+                )
         baseline = slices_per_sec
 
     headline = {
@@ -538,10 +559,11 @@ def main():
             and headline_sps * num / 1e12 > PEAK_TFLOPS * 1.05
             else {}
         ),
+        **({"tunnel_degraded": True} if degraded else {}),
         "p10_ms": round(p10 * 1e3, 3),
         "p50_ms": round(p50 * 1e3, 3),
         "p90_ms": round(p90 * 1e3, 3),
-        "baseline_is_self": True,
+        **({"baseline_is_self": True} if baseline_is_self else {}),
     }
     # CRASH-SAFE EMIT: the round artifact exists from this point on,
     # whatever happens to the secondary families below.

@@ -62,6 +62,17 @@ class ExperimentConfig:
     # way). fit() never scans across a validation/checkpoint boundary,
     # so val/ckpt cadence is exact. 1 = per-step dispatch.
     scan_steps: int = 1
+    # Bounded dispatch pipeline: keep up to `dispatch_depth` step/scan
+    # groups in flight before fencing the oldest (fit() loop). 1 = the
+    # safe default (one dispatch in flight — free-running dispatch with
+    # donated multi-GB states can collapse the allocator on some
+    # runtimes, see bench.py). >1 amortizes the per-dispatch host→device
+    # round trip across in-flight groups — on a tunneled/remote device
+    # the RTT can dominate the step itself; numerically identical (the
+    # dispatch SEQUENCE is unchanged, only host fencing moves). Scalar
+    # logging is already deferred one group; it defers `dispatch_depth`
+    # groups instead, with exact drain at val/ckpt boundaries.
+    dispatch_depth: int = 1
     remat: bool = False  # rematerialize forward in backprop (memory/flops)
     # Gradient accumulation (the reference parses --accumulation-steps but
     # never uses it, net_factory.py:49-50; here it works via
@@ -95,10 +106,11 @@ class ExperimentConfig:
                 f"{self.batch_size}] — shrinking --batch_size requires "
                 f"shrinking --labeled_bs with it"
             )
-        if self.scan_steps < 1 or self.grad_accum < 1:
+        if self.scan_steps < 1 or self.grad_accum < 1 or self.dispatch_depth < 1:
             raise ValueError(
-                f"scan_steps ({self.scan_steps}) and grad_accum "
-                f"({self.grad_accum}) must be >= 1"
+                f"scan_steps ({self.scan_steps}), grad_accum "
+                f"({self.grad_accum}) and dispatch_depth "
+                f"({self.dispatch_depth}) must be >= 1"
             )
 
     @property

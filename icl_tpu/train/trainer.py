@@ -279,13 +279,17 @@ class Trainer:
         # issued AFTER group i+1 is dispatched, so the tunnel roundtrip
         # (~0.3 s on this runtime — it dominated the end-to-end loop in
         # round 4's verify run: 2.7 it/s with eager per-leaf pulls)
-        # overlaps device compute instead of serializing with it.
+        # overlaps device compute instead of serializing with it. Under
+        # cfg.dispatch_depth>1 the backlog deepens to `depth` groups so
+        # the pull never fences the pipeline's newest dispatches.
         pending_log: list = []
+        depth = max(1, int(cfg.dispatch_depth))
+        inflight: list = []  # loss handles of dispatched, un-fenced groups
 
         def flush_log():
             if not pending_log:
                 return
-            b, n2, mets = pending_log.pop()
+            b, n2, mets = pending_log.pop(0)
             if not any((b + r + 1) % cfg.log_interval == 0 for r in range(n2)):
                 return
             host_rows = jax.device_get(mets)  # ONE batched transfer
@@ -345,21 +349,28 @@ class Trainer:
                 ]
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *var)
                 state, metrics = self.scan_step(n)(state, const, stacked, base_rng)
-            # Previous group's metrics transfer overlaps this group's
-            # device compute (the arrays are complete; only the tunnel
-            # roundtrip remains).
-            flush_log()
-            # Keep exactly one dispatch in flight: free-running dispatch
-            # with donated multi-GB states can collapse the allocator on
-            # this hardware (see bench.py); blocking costs ~0.1ms.
-            jax.block_until_ready(metrics["loss"])
             base_iter = iter_num
             iter_num += n
             pending_log.append((base_iter, n, metrics))
+            # Metrics transfers of groups that left the pipeline window
+            # overlap the in-flight groups' device compute (the arrays
+            # are complete; only the tunnel roundtrip remains).
+            while len(pending_log) > depth:
+                flush_log()
+            # Bound the dispatch pipeline at cfg.dispatch_depth groups in
+            # flight: free-running dispatch with donated multi-GB states
+            # can collapse the allocator on this hardware (see bench.py);
+            # at the default depth=1 this is the round-3 blocked stepping,
+            # at depth>1 the per-dispatch tunnel RTT amortizes across the
+            # window (bench.py pipe* mode measures exactly this).
+            inflight.append(metrics["loss"])
+            if len(inflight) >= depth:
+                jax.block_until_ready(inflight.pop(0))
 
             if (evaluate is not None and is_main and cfg.val_interval
                     and iter_num % cfg.val_interval == 0):
-                flush_log()  # keep log.txt ordering exact at boundaries
+                while pending_log:  # keep log.txt ordering exact at boundaries
+                    flush_log()
                 # keep params on device for the jitted predictors; only the
                 # (ICL-stripped) best-checkpoint save pulls to host
                 variables = {
@@ -410,13 +421,15 @@ class Trainer:
 
             if (is_main and cfg.checkpoint_interval
                     and iter_num % cfg.checkpoint_interval == 0):
-                flush_log()
+                while pending_log:
+                    flush_log()
                 path = ckpt.save_train_state_rolling(
                     snapshot, state, iter_num, keep=cfg.keep_checkpoints
                 )
                 logger.info("periodic checkpoint at iter %d -> %s", iter_num, path)
 
-        flush_log()
+        while pending_log:
+            flush_log()
         elapsed = time.perf_counter() - t_start
         logger.info(
             "Training finished: %d iters in %.1fs (%.2f it/s)",

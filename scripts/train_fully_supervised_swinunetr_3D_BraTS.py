@@ -44,6 +44,10 @@ def parse_args():
                    help="fuse N train steps into one XLA dispatch "
                         "via lax.scan (numerically equivalent to "
                         "per-step dispatch)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     p.add_argument("--ssl_ckpt", type=str, default="../pretrained_models/model_swinvit.pt")
     return p.parse_args()
 
@@ -58,7 +62,7 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
         remat=True,  # keep 3D Swin activations within HBM
-        precision=args.precision, scan_steps=args.scan_steps,
+        precision=args.precision, scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train", num=cfg.labeled_num)
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")

@@ -40,6 +40,10 @@ def parse_args():
                    help="fuse N train steps into one XLA dispatch "
                         "via lax.scan (numerically equivalent to "
                         "per-step dispatch)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p.parse_args()
@@ -54,7 +58,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         deterministic=args.deterministic, val_interval=args.val_interval,
-        precision=args.precision, scan_steps=args.scan_steps,
+        precision=args.precision, scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
     )
     # Labeled-only training: dataset truncated to the labeled prefix
     # (train_fully_supervised_unet_2D_ACDC.py:72-74).

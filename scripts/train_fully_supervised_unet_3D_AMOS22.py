@@ -46,6 +46,10 @@ def parse_args():
                    help="fuse N train steps into one XLA dispatch "
                         "via lax.scan (numerically equivalent to "
                         "per-step dispatch)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p.parse_args()
@@ -60,7 +64,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         val_interval=args.val_interval,
-        precision=args.precision, scan_steps=args.scan_steps,
+        precision=args.precision, scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
         seg_weight=0.5,  # loss = 0.5·(CE+Dice) (…AMOS22.py:198)
     )
     datalist = load_decathlon_datalist(args.split_path, "training")

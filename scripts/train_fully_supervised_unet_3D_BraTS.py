@@ -41,6 +41,10 @@ def parse_args():
                    help="fuse N train steps into one XLA dispatch "
                         "via lax.scan (numerically equivalent to "
                         "per-step dispatch)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     return p.parse_args()
@@ -55,7 +59,7 @@ def main():
         patch_size=tuple(args.patch_size), seed=args.seed,
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         deterministic=args.deterministic, val_interval=args.val_interval,
-        precision=args.precision, scan_steps=args.scan_steps,
+        precision=args.precision, scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train", num=cfg.labeled_num)
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")

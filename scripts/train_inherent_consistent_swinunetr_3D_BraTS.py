@@ -50,6 +50,10 @@ def parse_args():
                    help="fuse N train steps into one XLA dispatch "
                         "via lax.scan (numerically equivalent to "
                         "per-step dispatch)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     p.add_argument("--use_ssl_pretrained", type=int, default=0)
     p.add_argument("--ssl_ckpt", type=str, default="../pretrained_models/model_swinvit.pt")
     # multi-process data parallelism (same contract as the 2D flagship
@@ -80,7 +84,7 @@ def main():
         # 844M params + 3D Swin activations exceed 16GB HBM without
         # gradient rematerialization
         remat=True,
-        precision=args.precision, scan_steps=args.scan_steps,
+        precision=args.precision, scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train")
     val_ds = BraTS2019Dataset(cfg.root_path, "val_test")

@@ -50,6 +50,10 @@ def parse_args():
                         "lax.scan (numerically ≡ per-step dispatch; "
                         "amortizes host dispatch latency — recommended 8 "
                         "for perf runs)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     # multi-process data parallelism (launch one process per host with
     # identical flags plus a distinct --process_id; env fallbacks
     # ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID):
@@ -78,7 +82,7 @@ def main():
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
         precision=args.precision,
-        scan_steps=args.scan_steps,
+        scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
         device_augment=(args.input_mode == "device_bank"),
     )
     labeled_slice = patients_to_slices(cfg.root_path, cfg.labeled_num)

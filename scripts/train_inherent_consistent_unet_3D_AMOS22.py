@@ -58,6 +58,10 @@ def parse_args():
                    help="fuse N train steps into one XLA dispatch "
                         "via lax.scan (numerically equivalent to "
                         "per-step dispatch)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     p.add_argument("--remat", type=int, default=1,
                    help="rematerialize the forward in backprop")
     p.add_argument("--val_interval", type=int, default=1200)
@@ -87,7 +91,7 @@ def main():
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
         consis_weight=10.0, pse_weight=0.1,  # AMOS weighting (:230)
-        precision=args.precision, scan_steps=args.scan_steps, remat=bool(args.remat),
+        precision=args.precision, scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth, remat=bool(args.remat),
     )
     datalist = load_decathlon_datalist(args.split_path, "training")
     val_files = load_decathlon_datalist(args.split_path, "validation")[: args.val_num]

@@ -46,6 +46,10 @@ def parse_args():
                    help="fuse N train steps into one XLA dispatch "
                         "via lax.scan (numerically equivalent to "
                         "per-step dispatch)")
+    p.add_argument("--dispatch_depth", type=int, default=1,
+                   help="keep up to N step/scan groups in flight before "
+                        "fencing the oldest (amortizes per-dispatch "
+                        "host-device latency; numerically identical)")
     # multi-process data parallelism (same contract as the 2D flagship
     # CLI: one process per host, identical flags + distinct --process_id;
     # env fallbacks ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)
@@ -71,7 +75,7 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
-        precision=args.precision, scan_steps=args.scan_steps,
+        precision=args.precision, scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
         consis_weight=10.0,  # BraTS weighting (…unet_3D_BraTS.py:112)
     )
     train_ds = BraTS2019Dataset(cfg.root_path, "train")

@@ -280,6 +280,42 @@ def test_main_promotes_escalated_scan_window(monkeypatch, capsys, tmp_path):
     assert first["p50_ms"] == 5.0
 
 
+def test_main_degraded_window_does_not_persist_self_baseline(
+        monkeypatch, capsys, tmp_path):
+    """A window implying <8% of peak (tunnel weather) must not become
+    the persisted self-baseline — it would inflate every later healthy
+    run's vs_baseline ~20-35×. The run still reports vs_baseline=1.0 and
+    flags tunnel_degraded."""
+    import json
+
+    import bench
+
+    def fake_family(cfg, shape, ncls, steps, **kw):
+        fam = _canned_family()
+        # 100 steps/s at 1 TFLOP/step = 100 TFLOP/s ... make it slow:
+        # 0.1 steps/s → 0.1 TFLOP/s ≪ 8% of 197
+        fam["steps_per_sec_p50"] = 0.1
+        fam["p10_ms"] = fam["p50_ms"] = fam["p90_ms"] = 10000.0
+        fam["analytic_flops_per_step"] = 1e12
+        return fam
+
+    monkeypatch.setattr(bench, "time_family", fake_family)
+    bfile = tmp_path / "b.json"
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(bfile))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    monkeypatch.setenv("ICL_TPU_BENCH_FAMILIES", "flagship")
+    # pretend we're on a device backend (degraded guard is tpu-only)
+    monkeypatch.setattr(bench.jax, "default_backend", lambda: "tpu")
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    first = json.loads(lines[0])
+    assert first["tunnel_degraded"] is True
+    assert first["vs_baseline"] == 1.0
+    assert not bfile.exists()
+
+
 def test_main_promotes_pipelined_mode(monkeypatch, capsys, tmp_path):
     """When the pipelined-dispatch window (same compiled scan program,
     m async dispatches, one end fence) beats every scan window and is

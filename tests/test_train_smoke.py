@@ -240,6 +240,47 @@ def test_fit_scan_steps_equivalent(synth_root, tmp_path):
         np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)
 
 
+def test_fit_dispatch_depth_equivalent(synth_root, tmp_path):
+    """fit() with cfg.dispatch_depth=3 ≡ depth=1 bitwise: only host
+    fencing moves, the dispatch sequence is unchanged. Checked on params
+    AND the log.txt per-iteration loss lines (the deferred-log backlog
+    must drain in exact order at boundaries and at the end), composed
+    with scan_steps=2 so group and depth pipelines interact."""
+    rng = np.random.default_rng(2)
+    raw = [
+        {
+            "image": rng.normal(size=(4, 16, 16, 1)).astype(np.float32),
+            "label": rng.integers(0, 4, size=(4, 16, 16)).astype(np.int32),
+        }
+        for _ in range(8)
+    ]
+
+    def run(depth, exp):
+        cfg = ExperimentConfig(
+            root_path=synth_root, model="unet", patch_size=(16, 16),
+            batch_size=4, labeled_bs=2, max_iterations=8, val_interval=100,
+            experiments_dir=str(tmp_path), exp=exp, labeled_num=3,
+            scan_steps=2, dispatch_depth=depth, checkpoint_interval=0,
+        )
+        tr = Trainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state = tr.fit(state, iter(list(raw)))
+        import os
+        log_path = os.path.join(cfg.snapshot_path, "log.txt")
+        lines = [
+            l.split("]", 1)[-1] for l in open(log_path)
+            if "iteration" in l and "loss" in l
+        ]
+        return jax.device_get(state), lines
+
+    s1, log1 = run(1, "depth1")
+    s3, log3 = run(3, "depth3")
+    assert int(s1.step) == 8 and int(s3.step) == 8
+    for la, lb in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_array_equal(la, lb)
+    assert len(log1) == 8 and log1 == log3
+
+
 def test_fit_scan_steps_device_bank_equivalent(synth_root, tmp_path):
     """The flagship perf config: cfg.scan_steps + device_bank input
     (HBM-resident image/label banks are step-invariant CONST leaves —
