@@ -10,6 +10,13 @@ updates the op rates from probe proximity — the CTAugment control loop
 (rate[idx] = decay·rate + (1−decay)·proximity, ctaugment.py reference
 :95-103).
 
+TPU-first dispatch discipline: the probe forward is fused INTO the
+train step's XLA program (fused_probe=True) so each CTA iteration costs
+ONE device dispatch, and the host-side rate update lags one step by
+default (fit(rate_lag=1)) so the proximity scalar's D2H round trip
+overlaps the next step's device execution — the control loop's host
+coupling no longer serializes a tunnel RTT pair per step.
+
 Probe proximity for segmentation: 1 − ½·mean_pixels Σ_classes
 |softmax(probe logits) − one_hot(probe label)| — the FixMatch weight
 formula (google-research/fixmatch cta_remixmatch.py: 1 − ½·Σ|p−y|)
@@ -48,6 +55,14 @@ class CTATrainer:
         # per-step key derived ON DEVICE from (base key, state.step) —
         # shared derivation with Trainer (steps.make_auto_rng_step)
         self.step_auto = make_auto_rng_step(step_fn)
+        # fused-probe variant: the CTA probe forward runs INSIDE the train
+        # step's XLA program on the post-update params — ONE dispatch per
+        # CTA iteration instead of two (fit() uses this path)
+        self.step_auto_probe = make_auto_rng_step(
+            make_fixmatch_cta_step(self.model, self.tx, cfg.num_classes,
+                                   cfg.labeled_bs, conf_thresh,
+                                   unsup_weight, fused_probe=True)
+        )
 
         @jax.jit
         def _probe_probs(variables, x):
@@ -84,9 +99,21 @@ class CTATrainer:
         cta: CTAugment,
         max_steps: Optional[int] = None,
         snapshot_path: Optional[str] = None,
+        rate_lag: int = 1,
     ) -> TrainState:
         """Run the CTA control loop: train step on policy-augmented
         batches, then update op rates from the batch's probe.
+
+        The probe forward is FUSED into the train step's XLA program
+        (step_auto_probe): one device dispatch per iteration. With
+        `rate_lag=1` (default) the host rate update for step N is applied
+        right after step N+1 is dispatched, so the proximity D2H round
+        trip overlays step N+1's device execution — the rates a policy
+        draw sees are at most one extra step stale, indistinguishable
+        from the staleness the threaded prefetch already introduces
+        (policies are drawn when a batch is PRODUCED, not consumed).
+        `rate_lag=0` fences every step: strict draw→train→update
+        sequencing (the reference's eager ordering, ctaugment.py:95-103).
 
         With `snapshot_path` set and cfg.checkpoint_interval > 0, the
         learned CTA rates are persisted as `{snapshot}/model/
@@ -95,34 +122,52 @@ class CTATrainer:
         semantics, augmentations/__init__.py:7-17)."""
         import os
 
+        import numpy as np
+
         from icl_tpu.utils import checkpoint as ckpt
 
         steps = max_steps or self.cfg.max_iterations
         interval = getattr(self.cfg, "checkpoint_interval", 0)
         rng = jax.random.PRNGKey(self.cfg.seed)
+        pending = None  # (policy, device-scalar proximity) awaiting D2H
         for it, batch in enumerate(batches):
             if it >= steps:
                 break
             policy = batch.pop("probe_policy")
-            probe_image = batch.pop("probe_image")
-            probe_label = batch.pop("probe_label")
             device_batch = {
                 "image_weak": jnp.asarray(batch["image_weak"]),
                 "image_strong": jnp.asarray(batch["image_strong"]),
                 "label_aug": jnp.asarray(batch["label_aug"], jnp.int32),
+                "probe_image": jnp.asarray(batch["probe_image"]),
+                "probe_label": jnp.asarray(batch["probe_label"], jnp.int32),
             }
-            state, metrics = self.step_auto(state, device_batch, rng)
-            # probe AFTER the step, against the updated params (the rate
+            state, metrics = self.step_auto_probe(state, device_batch, rng)
+            if pending is not None:
+                # materializing the PREVIOUS step's proximity now lets its
+                # D2H ride under this step's compute; it also bounds the
+                # dispatch queue at one in-flight step
+                cta.update_rates(pending[0], float(np.asarray(pending[1])))
+                pending = None
+            # probe ran AFTER the update, against the new params (the rate
             # measures how well the current model handles the distortion)
-            proximity = self.probe_proximity(state, probe_image, probe_label)
-            cta.update_rates(policy, proximity)
-            jax.block_until_ready(metrics["loss"])
+            if rate_lag == 0:
+                cta.update_rates(
+                    policy, float(np.asarray(metrics["probe_proximity"]))
+                )
+            else:
+                pending = (policy, metrics["probe_proximity"])
             if snapshot_path and interval and (it + 1) % interval == 0:
+                if pending is not None:
+                    # flush so the persisted rates are exact at the boundary
+                    cta.update_rates(pending[0], float(np.asarray(pending[1])))
+                    pending = None
                 ckpt.save_train_state_rolling(
                     snapshot_path, state, it + 1,
                     keep=getattr(self.cfg, "keep_checkpoints", 3),
                 )
                 cta.save(os.path.join(snapshot_path, "model", "cta_state.json"))
+        if pending is not None:
+            cta.update_rates(pending[0], float(np.asarray(pending[1])))
         if snapshot_path and interval:
             cta.save(os.path.join(snapshot_path, "model", "cta_state.json"))
         return state

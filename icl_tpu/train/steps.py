@@ -148,6 +148,7 @@ def make_fixmatch_cta_step(
     labeled_bs: int,
     conf_thresh: float = 0.95,
     unsup_weight: float = 1.0,
+    fused_probe: bool = False,
 ) -> Callable:
     """FixMatch-style step for the CTAugment path (the consumer the
     reference's dormant CTATransform wiring implies,
@@ -157,7 +158,16 @@ def make_fixmatch_cta_step(
 
     Both forwards run in one XLA program; the strong forward consumes
     the batch stats produced by the weak forward (two sequential BN
-    updates, matching two eager torch calls)."""
+    updates, matching two eager torch calls).
+
+    With `fused_probe=True` the batch also carries `probe_image` /
+    `probe_label` and the CTA probe forward runs INSIDE the same XLA
+    program, on the post-update params (the reference CTA semantics:
+    the rate measures how the CURRENT model handles the distortion).
+    metrics['probe_proximity'] is the FixMatch weight
+    1 − ½·mean_pixels Σ_classes |softmax(p) − one_hot(y)| — one device
+    dispatch per CTA iteration instead of two (step + separate probe),
+    which halves the per-step host round trips on a tunneled runtime."""
     import jax.numpy as jnp
 
     def step(state: TrainState, batch, rng):
@@ -205,6 +215,20 @@ def make_fixmatch_cta_step(
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if fused_probe:
+            logits_p = model.apply(
+                {"params": new_params, "batch_stats": new_bs},
+                batch["probe_image"], train=False,
+            )
+            probs = jax.nn.softmax(logits_p, axis=-1)
+            onehot = jax.nn.one_hot(
+                batch["probe_label"], probs.shape[-1], dtype=probs.dtype
+            )
+            # class-axis L1 SUM per pixel (≤ 2 → proximity ∈ [0, 1]),
+            # then pixel mean — identical math to CTATrainer.probe_proximity
+            metrics["probe_proximity"] = 1.0 - 0.5 * jnp.mean(
+                jnp.sum(jnp.abs(probs - onehot), axis=-1)
+            )
         return (
             state.replace(
                 step=state.step + 1,

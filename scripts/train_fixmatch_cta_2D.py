@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--resume", action="store_true",
                    help="restore the latest rolling checkpoint and the "
                         "persisted CTA rates before training")
+    p.add_argument("--cta_rate_lag", type=int, default=1, choices=[0, 1],
+                   help="1 (default): apply the host rate update one step "
+                        "late so the probe D2H overlaps the next step's "
+                        "compute; 0: fence every step (strict eager order)")
     return p.parse_args()
 
 
@@ -76,7 +80,8 @@ def main():
     batches = cta_batches(dataset, labeled_count, cfg.batch_size,
                           cfg.labeled_bs, cfg.patch_size, cta, seed=cfg.seed)
     trainer.fit(state, batches, cta, max_steps=cfg.max_iterations,
-                snapshot_path=cfg.snapshot_path if args.checkpoint_interval else None)
+                snapshot_path=cfg.snapshot_path if args.checkpoint_interval else None,
+                rate_lag=args.cta_rate_lag)
     print("Learned CTA rates:\n" + cta.stats())
     print("Training Finished!")
 

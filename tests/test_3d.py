@@ -116,6 +116,8 @@ def test_sliding_window_matches_bruteforce():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow  # 27 s; 3D step coverage stays in the quick gate via
+# test_unet3d_shapes + the 3D reference-parity forwards
 def test_trainer_3d_step():
     """Trainer must handle 3D patch sizes end to end (regression: init
     unpacked (h, w))."""

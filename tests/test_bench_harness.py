@@ -382,6 +382,7 @@ def test_main_rejects_violating_escalated_scan(monkeypatch, capsys, tmp_path):
     assert "8-step scan" in first["stat"]
 
 
+@pytest.mark.slow  # 20 s; the roofline logic is also unit-covered below
 def test_time_family_scan_roofline_flag_tiny_cpu(monkeypatch):
     """time_family must attach the violation flag when the measured scan
     latency is impossibly fast for the counted FLOPs (forced here by a

@@ -44,7 +44,8 @@ def test_cta_batches_shapes(synth_root):
     assert set(np.unique(b["label_aug"])) <= set(range(4))
 
 
-def test_cta_training_moves_rates(synth_root, tmp_path):
+@pytest.mark.parametrize("rate_lag", [0, 1])
+def test_cta_training_moves_rates(synth_root, tmp_path, rate_lag):
     cfg = ExperimentConfig(
         root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
         labeled_bs=2, max_iterations=10, base_lr=0.01,
@@ -58,7 +59,7 @@ def test_cta_training_moves_rates(synth_root, tmp_path):
     ds = ACDCDataset(synth_root, "train")
     batches = cta_batches(ds, labeled_count=6, batch_size=4, labeled_bs=2,
                           patch_size=(16, 16), cta=cta, seed=0)
-    state = tr.fit(state, batches, cta, max_steps=10)
+    state = tr.fit(state, batches, cta, max_steps=10, rate_lag=rate_lag)
 
     assert int(jax.device_get(state.step)) == 10
     after = _flat_rates(cta)
@@ -66,6 +67,40 @@ def test_cta_training_moves_rates(synth_root, tmp_path):
     assert moved >= 10, f"only {moved} rate bins moved after 10 probes"
     # stats() renders without error (the reference's printed diagnostics)
     assert isinstance(cta.stats(), str)
+
+
+def test_fused_probe_matches_separate(synth_root, tmp_path):
+    """The probe proximity computed INSIDE the fused train step
+    (steps.make_fixmatch_cta_step fused_probe=True — fit()'s one-dispatch
+    path) equals CTATrainer.probe_proximity run separately against the
+    post-step state: same post-update params, same FixMatch formula."""
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(
+        root_path=synth_root, model="unet", patch_size=(16, 16), batch_size=4,
+        labeled_bs=2, max_iterations=10, base_lr=0.01,
+        experiments_dir=str(tmp_path), exp="cta_fused", labeled_num=3,
+    )
+    tr = CTATrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    cta = CTAugment(seed=2)
+    ds = ACDCDataset(synth_root, "train")
+    b = next(cta_batches(ds, labeled_count=6, batch_size=4, labeled_bs=2,
+                         patch_size=(16, 16), cta=cta, seed=0))
+    probe_image, probe_label = b["probe_image"], b["probe_label"]
+    device_batch = {
+        "image_weak": jnp.asarray(b["image_weak"]),
+        "image_strong": jnp.asarray(b["image_strong"]),
+        "label_aug": jnp.asarray(b["label_aug"], jnp.int32),
+        "probe_image": jnp.asarray(probe_image),
+        "probe_label": jnp.asarray(probe_label, jnp.int32),
+    }
+    rng = jax.random.PRNGKey(cfg.seed)
+    new_state, metrics = tr.step_auto_probe(state, device_batch, rng)
+    fused = float(np.asarray(metrics["probe_proximity"]))
+    separate = tr.probe_proximity(new_state, probe_image, probe_label)
+    assert abs(fused - separate) < 1e-5
+    assert 0.0 <= fused <= 1.0
 
 
 def test_cta_state_roundtrip(tmp_path):

@@ -16,6 +16,7 @@ Contract verified here:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from icl_tpu.config import ExperimentConfig
 from icl_tpu.train.trainer import Trainer
@@ -91,6 +92,8 @@ def test_grad_accum_composes_with_scan():
     assert _max_param_diff(s_a.params, s_b.params) < 1e-6
 
 
+@pytest.mark.slow  # 17 s; grad_accum stays quick-gated via the
+# two-update-equivalence and scan-composition tests above
 def test_grad_accum_update_is_mean_of_micro_batch_grads():
     """The EXACT MultiSteps contract on distinct micro-batches: the
     accumulated update equals one optimizer update taken with the MEAN
