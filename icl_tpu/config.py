@@ -73,6 +73,13 @@ class ExperimentConfig:
     # logging is already deferred one group; it defers `dispatch_depth`
     # groups instead, with exact drain at val/ckpt boundaries.
     dispatch_depth: int = 1
+    # Live FLOPs observability: after the first dispatch, hand-count the
+    # step's matmul/conv FLOPs from the traced jaxpr (utils/flops.py —
+    # the defensible MFU numerator, not XLA's remat-double-counting cost
+    # model) and log GFLOP/step + end-to-end analytic TFLOP/s in the
+    # training summary. Pure host-side tracing; overlaps the first
+    # step's device compile. False skips the trace.
+    log_flops: bool = True
     remat: bool = False  # rematerialize forward in backprop (memory/flops)
     # Gradient accumulation (the reference parses --accumulation-steps but
     # never uses it, net_factory.py:49-50; here it works via

@@ -117,6 +117,7 @@ def make_fused_sliding_window(
     patch_size: Sequence[int] = (96, 96, 96),
     sw_batch: int = 4,
     apply_softmax: bool = True,
+    mesh=None,
 ):
     """Fully-fused on-device sliding window: patch gather → chunked
     batched forward (lax.map) → scatter-add stitch → argmax, ONE XLA
@@ -126,8 +127,18 @@ def make_fused_sliding_window(
     Returns predict(variables, image[np W,H,D], stride_xy, stride_z) →
     label map. Volumes are padded to multiples of `bucket` per dim to
     bound recompiles.
-    """
+
+    With `mesh` (a jax Mesh with a 'data' axis) the patch chunks are
+    distributed over the axis via shard_map — each device forwards and
+    stitches ITS chunks into a local score/count volume, then one
+    psum pair reduces them and every device argmaxes the replicated
+    result. The chunk loop is a lax.map (sequential scan semantics), so
+    GSPMD alone cannot spread it; explicit chunk sharding is what makes
+    N chips ≈ N× serving throughput per volume. Numerics are identical
+    to the single-device program (weight-0 padding patches contribute
+    zero to both score and count)."""
     pw, ph, pd = patch_size
+    ndev = int(mesh.shape["data"]) if mesh is not None else 1
 
     @partial(jax.jit, static_argnums=(2,))
     def _run(variables, volume, n_chunks, starts):
@@ -173,6 +184,68 @@ def make_fused_sliding_window(
         label = jnp.argmax(score / jnp.maximum(cnt, 1.0)[..., None], axis=-1)
         return label.astype(jnp.uint8)
 
+    def _local_stitch(variables, volume, starts):
+        # local shard of the chunk list: [local_chunks*sw_batch, 4]
+        def gather(s):
+            return jax.lax.dynamic_slice(volume, (s[0], s[1], s[2]), (pw, ph, pd))
+
+        def forward_chunk(chunk_starts_w):
+            chunk_starts, w = chunk_starts_w
+            patches = jax.vmap(gather)(chunk_starts)[..., None]
+            logits = model.apply(variables, patches, train=False, inference=True)
+            logits = logits.astype(jnp.float32)
+            scores = jax.nn.softmax(logits, -1) if apply_softmax else logits
+            return scores * w[:, None, None, None, None]
+
+        starts_c = starts.reshape(-1, sw_batch, 4)
+        all_scores = jax.lax.map(
+            forward_chunk,
+            (starts_c[..., :3], starts_c[..., 3].astype(jnp.float32)),
+        )
+        flat_scores = all_scores.reshape(-1, pw, ph, pd, num_classes)
+
+        # the accumulators hold device-varying partials inside shard_map:
+        # mark the (replicated-zero) initial carry as 'data'-varying so
+        # the fori_loop carry types line up
+        score = jax.lax.pcast(
+            jnp.zeros(volume.shape + (num_classes,), jnp.float32),
+            ("data",), to="varying",
+        )
+        cnt = jax.lax.pcast(
+            jnp.zeros(volume.shape, jnp.float32), ("data",), to="varying"
+        )
+        ones = jnp.ones((pw, ph, pd), jnp.float32)
+
+        def accumulate(i, carry):
+            score, cnt = carry
+            s = starts[i]
+            idx = (s[0], s[1], s[2], 0)
+            cur = jax.lax.dynamic_slice(score, idx, (pw, ph, pd, num_classes))
+            score = jax.lax.dynamic_update_slice(score, cur + flat_scores[i], idx)
+            cur_c = jax.lax.dynamic_slice(cnt, idx[:3], (pw, ph, pd))
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, cur_c + ones * s[3].astype(jnp.float32), idx[:3]
+            )
+            return score, cnt
+
+        score, cnt = jax.lax.fori_loop(
+            0, starts.shape[0], accumulate, (score, cnt)
+        )
+        # one all-reduce pair merges the per-device partial volumes;
+        # every device then argmaxes the same replicated result
+        score = jax.lax.psum(score, "data")
+        cnt = jax.lax.psum(cnt, "data")
+        label = jnp.argmax(score / jnp.maximum(cnt, 1.0)[..., None], axis=-1)
+        return label.astype(jnp.uint8)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        _run_sharded = jax.jit(jax.shard_map(
+            _local_stitch, mesh=mesh,
+            in_specs=(P(), P(), P("data")), out_specs=P(),
+        ))
+
     def predict(variables, image: np.ndarray, stride_xy: int = 64,
                 stride_z: int = 64, bucket: int = 32) -> np.ndarray:
         w, h, d = image.shape
@@ -191,10 +264,20 @@ def make_fused_sliding_window(
         ]
         n = len(starts)
         n_chunks = math.ceil(n / sw_batch)
+        if mesh is not None:
+            # chunk count must split evenly over the 'data' axis
+            n_chunks = math.ceil(n_chunks / ndev) * ndev
         while len(starts) < n_chunks * sw_batch:
             starts.append((0, 0, 0, 0))  # weight-0 padding patches
         starts_arr = jnp.asarray(np.asarray(starts, np.int32))
-        label = np.asarray(_run(variables, jnp.asarray(padded), n_chunks, starts_arr))
+        if mesh is not None:
+            label = np.asarray(
+                _run_sharded(variables, jnp.asarray(padded), starts_arr)
+            )
+        else:
+            label = np.asarray(
+                _run(variables, jnp.asarray(padded), n_chunks, starts_arr)
+            )
         return label[:w, :h, :d]
 
     return predict

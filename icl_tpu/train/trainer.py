@@ -285,6 +285,7 @@ class Trainer:
         pending_log: list = []
         depth = max(1, int(cfg.dispatch_depth))
         inflight: list = []  # loss handles of dispatched, un-fenced groups
+        analytic_flops = None  # counted once after the first dispatch
 
         def flush_log():
             if not pending_log:
@@ -351,6 +352,23 @@ class Trainer:
                 state, metrics = self.scan_step(n)(state, const, stacked, base_rng)
             base_iter = iter_num
             iter_num += n
+            if analytic_flops is None and cfg.log_flops:
+                # one-time host-side jaxpr walk (utils/flops.py): runs
+                # while the device chews the just-dispatched first group,
+                # so it costs no step time. 0.0 marks "tried, unavailable".
+                try:
+                    from icl_tpu.utils.flops import analytic_step_flops
+
+                    analytic_flops = analytic_step_flops(
+                        self.step_auto, state, group[0], base_rng
+                    )
+                    logger.info(
+                        "analytic step cost: %.1f GFLOP (2MNK dot + conv "
+                        "jaxpr walk, incl. remat recompute)",
+                        analytic_flops / 1e9,
+                    )
+                except Exception:
+                    analytic_flops = 0.0
             pending_log.append((base_iter, n, metrics))
             # Metrics transfers of groups that left the pipeline window
             # overlap the in-flight groups' device compute (the arrays
@@ -431,10 +449,23 @@ class Trainer:
         while pending_log:
             flush_log()
         elapsed = time.perf_counter() - t_start
-        logger.info(
-            "Training finished: %d iters in %.1fs (%.2f it/s)",
-            iter_num, elapsed, iter_num / max(elapsed, 1e-9),
-        )
+        if analytic_flops:
+            # end-to-end rate: includes compile + validation + logging,
+            # so it lower-bounds the steady-state TFLOP/s (bench.py
+            # measures the steady state; this line is the in-run
+            # observability cross-check, SURVEY §5 profiling)
+            logger.info(
+                "Training finished: %d iters in %.1fs (%.2f it/s, "
+                "end-to-end analytic %.2f TFLOP/s at %.1f GFLOP/step)",
+                iter_num, elapsed, iter_num / max(elapsed, 1e-9),
+                analytic_flops * iter_num / max(elapsed, 1e-9) / 1e12,
+                analytic_flops / 1e9,
+            )
+        else:
+            logger.info(
+                "Training finished: %d iters in %.1fs (%.2f it/s)",
+                iter_num, elapsed, iter_num / max(elapsed, 1e-9),
+            )
         state_bytes = sum(
             int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(state)
         )
