@@ -44,6 +44,13 @@ PEAK_TFLOPS = float(os.environ.get("ICL_TPU_PEAK_TFLOPS", "197"))
 # set once any real artifact line has been printed: the watchdog then
 # never overwrites it with a zero line
 ARTIFACT_OUT = {"yes": False}
+# once the flagship line is out, main() installs a finalizer here; a
+# firing watchdog runs it (prints the enriched final line with every
+# remaining family marked skipped) and exits 0 — a run that produced a
+# good flagship artifact is structurally incapable of rc≠0 (round-4
+# failure mode: the re-armed watchdog fired os._exit(2) mid-secondary
+# and the driver recorded rc=2 with 2 of 4 family rows missing).
+FINALIZE = {"fn": None}
 
 
 def _sync(metrics) -> None:
@@ -261,6 +268,23 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
         # numerator for MFU claims (BASELINE.md MFU section).
         out["analytic_flops_per_step"] = analytic
         out["analytic_tflops_at_p50"] = round(analytic / p50 / 1e12, 1)
+        # the per-family MFU point (VERDICT r4 item 3): analytic FLOPs at
+        # the device_get-fenced p50 over the chip's bf16 peak
+        out["analytic_mfu_pct_at_p50"] = round(
+            analytic / p50 / 1e12 / PEAK_TFLOPS * 100, 1)
+    # HBM high-water mark after compile + timed window (VERDICT r4
+    # item 7): evidence for the remat story (e.g. swinunetr needs
+    # block-remat to fit 16G). Backend-dependent; absent keys are fine.
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            out["hbm_peak_gb"] = round(peak / 2**30, 2)
+        live = stats.get("bytes_in_use")
+        if live:
+            out["hbm_live_gb"] = round(live / 2**30, 2)
+    except Exception:
+        pass
     if scan_k > 1:
         # Multi-step fusion (cfg.scan_steps): lax.scan scan_k steps into
         # ONE dispatch — amortizes host dispatch/tunnel latency. fit()
@@ -341,6 +365,28 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                 times.append(time.perf_counter() - t0)
             ep50 = float(np.percentile(times, 50))
             out["eval_slices_per_sec_p50"] = round(64 / ep50, 1)
+            # Reference-pattern comparator (val_2D.py:38-49 semantics on
+            # THIS hardware): one H2D, one single-slice forward dispatch,
+            # one D2H per slice — quantifies what the batched/fused
+            # serving path buys over the torch loop's structure.
+            if os.environ.get("ICL_TPU_BENCH_EVAL_REF", "1") != "0":
+                model = trainer.model
+
+                @jax.jit
+                def _fwd1(variables, x):  # x: [1, ph, pw, 1]
+                    logits = model.apply(variables, x, train=False,
+                                         inference=True)
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                np.asarray(_fwd1(variables,
+                                 jnp.asarray(vol[0][None, ..., None])))
+                t0 = time.perf_counter()
+                n_ref = 16  # slices; per-slice round-trips are slow
+                for d in range(n_ref):
+                    x = jnp.asarray(vol[d][None, ..., None])
+                    np.asarray(_fwd1(variables, x))
+                ref_s = time.perf_counter() - t0
+                out["eval_refpattern_slices_per_sec"] = round(n_ref / ref_s, 1)
         except Exception as e:  # pragma: no cover - device-specific
             out["eval2d_error"] = f"{type(e).__name__}: {e}"[:200]
     if eval_3d and os.environ.get("ICL_TPU_BENCH_EVAL", "1") != "0":
@@ -364,6 +410,28 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                 predict(variables, vol)
                 times.append(time.perf_counter() - t0)
             out["eval_vol144_sec_p50"] = round(float(np.percentile(times, 50)), 3)
+            # Host-chunked comparator (the reference's val_3D.py:50-73
+            # structure: per-sw_batch H2D + forward + D2H, numpy stitch)
+            # on the same model/volume — quantifies the fused-program win.
+            if os.environ.get("ICL_TPU_BENCH_EVAL_REF", "1") != "0":
+                from icl_tpu.eval.infer3d import (make_patch_predictor,
+                                                  sliding_window_predict)
+
+                probs_fn = make_patch_predictor(
+                    trainer.model, cfg.patch_size, sw_batch=4)
+                # reference stride is 64 for 96³ patches; clamp for the
+                # tiny-patch harness test so the grid stays gap-free
+                sxy = min(64, cfg.patch_size[0])
+                sz = min(64, cfg.patch_size[-1])
+                sliding_window_predict(  # compile + warmup
+                    probs_fn, variables, vol, num_classes, cfg.patch_size,
+                    stride_xy=sxy, stride_z=sz)
+                t0 = time.perf_counter()
+                sliding_window_predict(
+                    probs_fn, variables, vol, num_classes, cfg.patch_size,
+                    stride_xy=sxy, stride_z=sz)
+                out["eval_vol144_hostchunk_sec"] = round(
+                    time.perf_counter() - t0, 3)
         except Exception as e:  # pragma: no cover - device-specific
             out["eval3d_error"] = f"{type(e).__name__}: {e}"[:200]
     # release donated buffers before the next family compiles
@@ -379,13 +447,23 @@ def _arm_watchdog(timeout_s: float, note: str, emit_zero: bool = True):
     """The axon tunnel can hang indefinitely (observed: jax.devices()
     blocking for hours in round 3). A hung bench costs the round its
     BENCH artifact entirely — fire an HONEST zero-value JSON line with
-    the error note instead, then hard-exit. Once the flagship line has
-    been printed, re-arm with emit_zero=False: the backstop then just
-    exits, leaving the already-printed flagship line as the artifact."""
+    the error note instead, then hard-exit rc=2. Once the flagship line
+    has been printed (ARTIFACT_OUT), a firing watchdog instead runs the
+    installed FINALIZE fn — which prints the enriched final line with
+    every unfinished family marked skipped — and exits 0: a good
+    flagship emit makes a nonzero exit structurally impossible."""
     import threading
 
     def fire():
-        if emit_zero and not ARTIFACT_OUT["yes"]:
+        if ARTIFACT_OUT["yes"]:
+            fin = FINALIZE["fn"]
+            if fin is not None:
+                try:
+                    fin(note)
+                except Exception:
+                    pass
+            os._exit(0)
+        if emit_zero:
             print(json.dumps({
                 "metric": "acdc_icl_unet_train_slices_per_sec",
                 "value": 0.0,
@@ -445,7 +523,7 @@ def main():
         # the refinements (retries/scan/eval/families), not the round.
         if time.time() - T0 < 0.6 * BUDGET:
             return
-        sps = 16.0 / w50 if w50 else 0.0
+        sps = batch_size / w50 if w50 else 0.0
         vsb = 1.0
         try:
             rec = json.load(open(BASELINE_FILE))
@@ -570,10 +648,18 @@ def main():
     print(json.dumps(headline), flush=True)
     ARTIFACT_OUT["yes"] = True
     wd.cancel()
-    wd = _arm_watchdog(max(remaining(), 30.0) + 120.0,
-                       "families overran", emit_zero=False)
 
     families = {"icl_unet_acdc": dict(flagship, slices_per_sec=round(slices_per_sec, 1))}
+    # the families dict ALWAYS carries all four keys: measured, skipped,
+    # or error — never silently absent (round-4 defect: watchdog kill
+    # left 2 of 4 rows unrecorded).
+    run_secondaries = os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship"
+    SECONDARY_NAMES = ("swinunetr_icl_brats", "unet_3d_icl_brats",
+                       "icl_swinunet_acdc")
+    for name in SECONDARY_NAMES:
+        families[name] = (
+            {"skipped": "not reached before run ended"} if run_secondaries
+            else {"skipped": "ICL_TPU_BENCH_FAMILIES=flagship"})
 
     def write_details():
         # incremental: each completed family lands on disk immediately, so
@@ -585,8 +671,44 @@ def main():
         except Exception:
             pass
 
+    def finalize(note: str = "") -> None:
+        # watchdog path: mark whatever is still pending, persist, emit the
+        # enriched line — then the caller exits 0.
+        if note:
+            for fam in families.values():
+                if fam.get("skipped") == "not reached before run ended":
+                    fam["skipped"] = f"watchdog: {note}"
+        write_details()
+        print(json.dumps(dict(headline, families=families,
+                              wall_s=round(time.time() - T0, 1))), flush=True)
+
+    FINALIZE["fn"] = finalize
+    wd = _arm_watchdog(max(remaining(), 30.0) + 120.0,
+                       "families overran", emit_zero=False)
+
+    # Degradation-aware budgets: the per-family cost estimates below are
+    # healthy-window constants; in a 20-35× degraded tunnel phase
+    # (BASELINE.md §round-4) "207 s left ≥ 120 s estimate" admits a
+    # family that actually needs ~1 h (the round-4 rc=2 failure mode).
+    # Scale every estimate by the observed flagship slowdown.
+    healthy_p50_ms = None
+    try:
+        rec = json.load(open(BASELINE_FILE))
+        if rec.get("stat") == "p50" and rec.get("value"):
+            healthy_p50_ms = batch_size / rec["value"] * 1e3
+    except Exception:
+        pass
+    if healthy_p50_ms is None and hl_flops:
+        # no healthy self-baseline on record: assume 50% MFU as the
+        # healthy pace for the counted FLOPs
+        healthy_p50_ms = hl_flops / (0.5 * PEAK_TFLOPS * 1e12) * 1e3
+    measured_p50_ms = p50 * 1e3
+    degradation = (max(1.0, measured_p50_ms / healthy_p50_ms)
+                   if healthy_p50_ms else 1.0)
+    headline["degradation_ratio"] = round(degradation, 2)
+
     write_details()
-    if os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship":
+    if run_secondaries:
         # (config builder, batch shape, classes, steps, kwargs, est cost s)
         # 3D families first: their round-3 table rows were corrupted by a
         # transcription slip and re-measuring them is the priority when
@@ -603,17 +725,21 @@ def main():
                  model="unet_3D_icl", patch_size=(96, 96, 96), batch_size=4,
                  labeled_bs=2, num_classes=2, max_iterations=30000,
                  consis_weight=10.0, precision="bfloat16"),
-             (4, 96, 96, 96, 1), 2, 50, {}, 120.0),
+             (4, 96, 96, 96, 1), 2, 50, {"eval_3d": True}, 120.0),
             ("icl_swinunet_acdc",
              ExperimentConfig(
                  model="icl_swinunet", patch_size=(224, 224), batch_size=16,
                  labeled_bs=8, max_iterations=30000, precision="bfloat16"),
-             (16, 224, 224, 1), 4, 50, {}, 120.0),
+             (16, 224, 224, 1), 4, 50, {"eval_2d": True}, 120.0),
         ]
         for name, fcfg, shape, ncls, steps, kw, est in secondaries:
-            if remaining() < est:
+            est_scaled = est * degradation
+            if remaining() < est_scaled:
                 families[name] = {
-                    "skipped": f"budget: {remaining():.0f}s left < {est:.0f}s estimate"
+                    "skipped": (
+                        f"budget: {remaining():.0f}s left < {est_scaled:.0f}s "
+                        f"estimate ({est:.0f}s healthy × {degradation:.1f} "
+                        "degradation)")
                 }
                 write_details()
                 continue

@@ -21,7 +21,12 @@ class ExperimentConfig:
     in_chns: int = 1
     max_iterations: int = 30000
     batch_size: int = 16
-    labeled_bs: int = 8
+    # -1 = unset: resolved to min(8, batch_size) in __post_init__ (the
+    # reference default is 8, but the fully-supervised 3D scripts run
+    # --batch_size 4 without ever passing labeled_bs — their default
+    # invocation must not trip the labeled_bs<=batch_size validation,
+    # which labeled_bs is unused on that path anyway; ADVICE r4)
+    labeled_bs: int = -1
     base_lr: float = 0.01
     patch_size: Sequence[int] = (256, 256)
     seed: int = 1337
@@ -107,6 +112,8 @@ class ExperimentConfig:
         # step (surfaces as a cryptic negative broadcast_in_dim shape).
         # The reference has the same latent trap (its [labeled_bs:]
         # slices silently go empty); here it is a config error.
+        if self.labeled_bs == -1:
+            self.labeled_bs = min(8, self.batch_size)
         if not 0 < self.labeled_bs <= self.batch_size:
             raise ValueError(
                 f"labeled_bs={self.labeled_bs} must be in [1, batch_size="

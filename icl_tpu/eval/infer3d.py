@@ -134,9 +134,11 @@ def make_fused_sliding_window(
     psum pair reduces them and every device argmaxes the replicated
     result. The chunk loop is a lax.map (sequential scan semantics), so
     GSPMD alone cannot spread it; explicit chunk sharding is what makes
-    N chips ≈ N× serving throughput per volume. Numerics are identical
-    to the single-device program (weight-0 padding patches contribute
-    zero to both score and count)."""
+    N chips ≈ N× serving throughput per volume. Numerics match the
+    single-device program up to float32 summation order (sharding the
+    chunk list re-associates the score/count accumulation at overlapping
+    voxels, so exact-tie argmaxes can in principle flip); weight-0
+    padding patches contribute zero to both score and count."""
     pw, ph, pd = patch_size
     ndev = int(mesh.shape["data"]) if mesh is not None else 1
 

@@ -446,6 +446,14 @@ class Trainer:
                 )
                 logger.info("periodic checkpoint at iter %d -> %s", iter_num, path)
 
+        # drain the dispatch pipeline BEFORE reading the clock: with
+        # dispatch_depth>1 up to depth-1 groups are still executing, and
+        # flush_log without a matching log_interval row performs no
+        # device_get — the finished-summary it/s would over-report the
+        # tail (ADVICE r4)
+        if inflight:
+            jax.block_until_ready(inflight)
+            inflight.clear()
         while pending_log:
             flush_log()
         elapsed = time.perf_counter() - t_start

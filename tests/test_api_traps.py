@@ -104,3 +104,15 @@ def test_config_rejects_labeled_bs_above_batch_size():
         ExperimentConfig(scan_steps=0)
     # boundary: fully-supervised configs use labeled_bs == batch_size
     ExperimentConfig(batch_size=4, labeled_bs=4)
+
+
+def test_config_default_labeled_bs_resolves_with_small_batch():
+    """ADVICE r4 (high): the fully-supervised 3D scripts default
+    --batch_size 4 and never pass labeled_bs; their default invocation
+    must construct (labeled_bs resolves to min(8, batch_size)), not
+    raise — only an EXPLICIT labeled_bs > batch_size fails loud."""
+    from icl_tpu.config import ExperimentConfig
+
+    assert ExperimentConfig(batch_size=4).labeled_bs == 4
+    assert ExperimentConfig(batch_size=16).labeled_bs == 8
+    assert ExperimentConfig().labeled_bs == 8
