@@ -54,6 +54,9 @@ def parse_args():
                    help="keep up to N step/scan groups in flight before "
                         "fencing the oldest (amortizes per-dispatch "
                         "host-device latency; numerically identical)")
+    p.add_argument("--checkpoint_interval", type=int, default=0,
+                   help="save a rolling resumable train state every N "
+                        "iterations (0 = best-only, reference behavior)")
     # multi-process data parallelism (launch one process per host with
     # identical flags plus a distinct --process_id; env fallbacks
     # ICL_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID):
@@ -81,6 +84,7 @@ def main():
         labeled_num=args.labeled_num, num_tries=args.num_tries,
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
+        checkpoint_interval=args.checkpoint_interval,
         precision=args.precision,
         scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
         device_augment=(args.input_mode == "device_bank"),
