@@ -44,6 +44,9 @@ PEAK_TFLOPS = float(os.environ.get("ICL_TPU_PEAK_TFLOPS", "197"))
 # set once any real artifact line has been printed: the watchdog then
 # never overwrites it with a zero line
 ARTIFACT_OUT = {"yes": False}
+# filled by micro_roofline() at the start of main(): empirical peaks
+# used for the two-sided sanity guards (FLOPs roofline + bytes floor)
+ROOFLINE: dict = {}
 # once the flagship line is out, main() installs a finalizer here; a
 # firing watchdog runs it (prints the enriched final line with every
 # remaining family marked skipped) and exits 0 — a run that produced a
@@ -67,6 +70,65 @@ def _sync(metrics) -> None:
 
 def remaining() -> float:
     return BUDGET - (time.time() - T0)
+
+
+def micro_roofline(reps: int = 3, n: int = 1 << 28, m: int = 4096,
+                   k_bw: int = 10, k_mm: int = 32) -> dict:
+    """Empirical chip peaks, ~20 s: (a) achievable HBM bandwidth via a
+    chained elementwise update over a 1 GiB f32 buffer (20 GiB of
+    read+write traffic per dispatch, one device_get fence), (b)
+    achievable bf16 matmul TFLOP/s via 32 chained 4096² matmuls in one
+    dispatch (4.4 TFLOP). These are the DENOMINATORS the round-5
+    roofline analysis uses: the flagship train step moves ~2× its
+    8.55 GB state per step (SGD+momentum reads/writes every param), so
+    its speed-of-light is bytes/BW, not FLOPs/peak — any step reading
+    faster than the measured-BW floor is a measurement artifact
+    (docs/ROOFLINE.md)."""
+    import jax.lax as lax
+
+    out = {}
+    try:
+        @jax.jit
+        def bw_chain(x):
+            # roll keeps each iteration a real 1 GiB read + 1 GiB write
+            # even if XLA unrolls the counted loop (a pure elementwise
+            # body could otherwise fuse across iterations into one pass)
+            return lax.fori_loop(
+                0, k_bw, lambda i, a: jnp.roll(a, 1) * 1.0000001 + 1e-7, x)
+
+        x = jnp.zeros((n,), jnp.float32)
+        np.asarray(bw_chain(x)[:1])  # compile + warmup
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(bw_chain(x)[:1])
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        traffic = 2.0 * 4 * n * k_bw  # read + write per iteration
+        out["measured_hbm_gbs"] = round(traffic / best / 1e9, 3)
+        out["hbm_probe_s"] = [round(t, 4) for t in ts]
+    except Exception as e:  # pragma: no cover - device-specific
+        out["hbm_probe_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        @jax.jit
+        def mm_chain(a):
+            return lax.fori_loop(
+                0, k_mm, lambda i, x: (x @ x) * (1.0 / m), a)
+
+        a = jnp.full((m, m), 1.0, jnp.bfloat16)
+        np.asarray(mm_chain(a)[:1, :1])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(mm_chain(a)[:1, :1])
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        flops = 2.0 * m**3 * k_mm
+        out["measured_mxu_tflops"] = round(flops / best / 1e12, 4)
+        out["mxu_probe_s"] = [round(t, 4) for t in ts]
+    except Exception as e:  # pragma: no cover - device-specific
+        out["mxu_probe_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def _measure_scan(trainer, state, batch, base_rng, k: int, steps: int,
@@ -172,6 +234,10 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
 
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
+    state_bytes = sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize
+        for x in jax.tree.leaves(state)
+    )
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.normal(size=batch_shape), jnp.float32),
@@ -256,6 +322,7 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
         out["slow_phase_windows_p50_ms"] = [
             round(w * 1e3, 3) for w in windows_p50
         ]
+    out["state_gb"] = round(state_bytes / 2**30, 2)
     if flops:
         # XLA cost-model FLOPs. NOTE: counts executed flops including
         # remat recompute and is a cost MODEL, not a profiler read — the
@@ -434,6 +501,22 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
                     time.perf_counter() - t0, 3)
         except Exception as e:  # pragma: no cover - device-specific
             out["eval3d_error"] = f"{type(e).__name__}: {e}"[:200]
+    # Bytes floor (round-5 roofline finding, docs/ROOFLINE.md): one
+    # SGD+momentum step must read AND write every param + momentum leaf
+    # — ≥ 2 × state bytes of HBM traffic. A per-step latency below
+    # 2·state/measured_BW is physically impossible; flag it like the
+    # FLOPs roofline violations. (Conservative: ignores activation,
+    # gradient and weight-read traffic.)
+    bw = ROOFLINE.get("measured_hbm_gbs")
+    if bw:
+        floor_ms = 2.0 * state_bytes / (bw * 1e9) * 1e3
+        out["bytes_floor_ms"] = round(floor_ms, 3)
+        for key in ["p50_ms"] + [
+            k for k in out if k.endswith("_p50_ms_per_step")
+        ]:
+            if out[key] < floor_ms * 0.95:
+                out[key.replace("p50_ms", "bandwidth_violation")
+                       .replace("_per_step", "")] = True
     # release donated buffers before the next family compiles
     try:
         jax.block_until_ready(state)
@@ -496,6 +579,15 @@ def main():
     wd = _arm_watchdog(
         max(remaining(), 60.0) + 420.0,
         "flagship exceeded the total budget")
+
+    # Empirical chip peaks first (~20 s): the measured HBM bandwidth is
+    # the denominator for the bytes-floor guard on every family, and the
+    # measured matmul rate sanity-checks PEAK_TFLOPS on this hardware.
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("ICL_TPU_BENCH_ROOFLINE", "1") != "0"):
+        ROOFLINE.update(micro_roofline())
+        # '#' prefix: progress note, not a driver-parseable artifact line
+        print("# micro_roofline " + json.dumps(ROOFLINE), flush=True)
 
     batch_size, labeled_bs, patch = 16, 8, 256
     cfg = ExperimentConfig(
@@ -560,7 +652,9 @@ def main():
     best_sps = flagship["steps_per_sec_p50"]
     for mode in candidates:
         sps = flagship.get(f"{mode}_steps_per_sec_p50", 0)
-        if not flagship.get(f"{mode}_roofline_violation") and sps > best_sps:
+        if (not flagship.get(f"{mode}_roofline_violation")
+                and not flagship.get(f"{mode}_bandwidth_violation")
+                and sps > best_sps):
             best, best_sps = mode, sps
     if best:
         headline_sps = best_sps
@@ -638,10 +732,17 @@ def main():
             else {}
         ),
         **({"tunnel_degraded": True} if degraded else {}),
+        **(
+            {"bandwidth_anomaly": True}
+            if flagship.get(f"{best}_bandwidth_violation"
+                            if best else "bandwidth_violation")
+            else {}
+        ),
         "p10_ms": round(p10 * 1e3, 3),
         "p50_ms": round(p50 * 1e3, 3),
         "p90_ms": round(p90 * 1e3, 3),
         **({"baseline_is_self": True} if baseline_is_self else {}),
+        **({"micro_roofline": dict(ROOFLINE)} if ROOFLINE else {}),
     }
     # CRASH-SAFE EMIT: the round artifact exists from this point on,
     # whatever happens to the secondary families below.

@@ -501,6 +501,73 @@ def test_time_family_analytic_flops_tiny_cpu():
     assert out["analytic_tflops_at_p50"] >= 0
 
 
+def test_micro_roofline_tiny_cpu():
+    """Both probes must produce finite positive readings (tiny sizes so
+    the single CPU core finishes in seconds; the chip bench runs the
+    real 1 GiB / 4096² sizes)."""
+    import bench
+
+    out = bench.micro_roofline(reps=2, n=1 << 16, m=128, k_bw=3, k_mm=4)
+    assert "hbm_probe_error" not in out, out.get("hbm_probe_error")
+    assert "mxu_probe_error" not in out, out.get("mxu_probe_error")
+    assert out["measured_hbm_gbs"] > 0
+    assert out["measured_mxu_tflops"] > 0
+
+
+def test_time_family_bytes_floor_flags_impossible_reading(monkeypatch):
+    """Round-5 roofline finding: a step must move >= 2x its train-state
+    bytes (SGD+momentum read+write). With a (faked) measured bandwidth
+    of ~0, every measured latency sits below the floor and must be
+    flagged bandwidth_violation; main() must then refuse to promote a
+    violating scan mode."""
+    import bench
+
+    monkeypatch.setattr(bench, "ROOFLINE", {"measured_hbm_gbs": 1e-6})
+    cfg = ExperimentConfig(
+        model="unet", patch_size=(16, 16), batch_size=4, labeled_bs=2,
+        max_iterations=100,
+    )
+    out = bench.time_family(cfg, (4, 16, 16, 1), 4, steps=4, scan_k=2)
+    assert out["bytes_floor_ms"] > 0
+    assert out.get("bandwidth_violation") is True
+    assert out.get("scan2_bandwidth_violation") is True
+
+
+def test_main_rejects_bandwidth_violating_scan(monkeypatch, capsys, tmp_path):
+    """A scan window below the bytes floor must NOT be promoted even if
+    it passes the FLOPs roofline; the headline flags bandwidth_anomaly
+    when the fallback per-step number itself violates."""
+    import json
+
+    import bench
+
+    def fake_family(cfg, shape, ncls, steps, **kw):
+        fam = _canned_family()
+        fam["analytic_flops_per_step"] = 1e9  # FLOPs roofline happy
+        fam.update({
+            "state_gb": 8.55, "bytes_floor_ms": 22.0,
+            "bandwidth_violation": True,  # per-step 10 ms < 22 ms floor
+            "scan8_steps_per_sec_p50": 200.0, "scan8_p10_ms_per_step": 4.9,
+            "scan8_p50_ms_per_step": 5.0, "scan8_p90_ms_per_step": 5.2,
+            "scan8_bandwidth_violation": True,
+        })
+        return fam
+
+    monkeypatch.setattr(bench, "time_family", fake_family)
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "b.json"))
+    monkeypatch.setattr(bench, "DETAILS_FILE", str(tmp_path / "d.json"))
+    monkeypatch.setattr(bench, "_arm_watchdog",
+                        lambda *a, **k: type("T", (), {"cancel": lambda s: None})())
+    monkeypatch.setenv("ICL_TPU_BENCH_FAMILIES", "flagship")
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    first = json.loads(lines[0])
+    # fell back to per-step (100 steps/s x bs16), not the violating scan
+    assert first["value"] == 100.0 * 16
+    assert "scan" not in first["stat"]
+    assert first.get("bandwidth_anomaly") is True
+
+
 @pytest.mark.slow
 def test_time_family_eval3d_tiny_cpu(monkeypatch):
     import bench
