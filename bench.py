@@ -756,7 +756,7 @@ def main():
     # left 2 of 4 rows unrecorded).
     run_secondaries = os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship"
     SECONDARY_NAMES = ("swinunetr_icl_brats", "unet_3d_icl_brats",
-                       "icl_swinunet_acdc")
+                       "icl_swinunet_acdc", "icl_unet_acdc_bf16state")
     for name in SECONDARY_NAMES:
         families[name] = (
             {"skipped": "not reached before run ended"} if run_secondaries
@@ -832,6 +832,16 @@ def main():
                  model="icl_swinunet", patch_size=(224, 224), batch_size=16,
                  labeled_bs=8, max_iterations=30000, precision="bfloat16"),
              (16, 224, 224, 1), 4, 50, {"eval_2d": True}, 120.0),
+            # flagship config with the round-5 bf16 train state
+            # (docs/ROOFLINE.md §4: halves the optimizer HBM traffic the
+            # flagship is bound by) — measured as its own row so the
+            # headline stays the reference-storage config
+            ("icl_unet_acdc_bf16state",
+             ExperimentConfig(
+                 model="icl_unet", patch_size=(256, 256), batch_size=16,
+                 labeled_bs=8, max_iterations=30000, precision="bfloat16",
+                 state_dtype="bfloat16"),
+             (16, 256, 256, 1), 4, 50, {}, 150.0),
         ]
         for name, fcfg, shape, ncls, steps, kw, est in secondaries:
             est_scaled = est * degradation

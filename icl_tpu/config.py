@@ -60,6 +60,13 @@ class ExperimentConfig:
 
     # TPU-native knobs
     precision: str = "float32"  # 'float32' (parity) | 'bfloat16' (perf)
+    # Train-STATE storage dtype (round-5 bandwidth optimization,
+    # docs/ROOFLINE.md §4): 'bfloat16' stores params + momentum in bf16
+    # with f32 update math and stochastically rounded stores — halves
+    # the per-step HBM traffic of the optimizer (the flagship's binding
+    # bottleneck: 2 × 8.55 GiB state moved per step) and the state/
+    # checkpoint size. 'float32' = reference-exact storage (default).
+    state_dtype: str = "float32"
     # Multi-step fusion: lax.scan `scan_steps` train steps into ONE XLA
     # program (one host dispatch per group — amortizes dispatch/tunnel
     # latency; numerically identical to per-step dispatch because the
@@ -126,6 +133,12 @@ class ExperimentConfig:
                 f"({self.grad_accum}) and dispatch_depth "
                 f"({self.dispatch_depth}) must be >= 1"
             )
+        if self.state_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"state_dtype: {self.state_dtype!r}")
+        if self.state_dtype == "bfloat16" and self.grad_accum > 1:
+            # optax.MultiSteps would accumulate micro-grads in the bf16
+            # param dtype, defeating the mean-gradient contract
+            raise ValueError("state_dtype='bfloat16' requires grad_accum=1")
 
     @property
     def snapshot_path(self) -> str:

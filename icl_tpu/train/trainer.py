@@ -69,7 +69,7 @@ class Trainer:
         )
         self.tx = make_sgd(
             cfg.base_lr, cfg.max_iterations, cfg.momentum, cfg.weight_decay,
-            cfg.poly_power,
+            cfg.poly_power, state_dtype=cfg.state_dtype,
         )
         if cfg.grad_accum > 1:
             import optax
@@ -174,8 +174,18 @@ class Trainer:
         else:
             x = jnp.zeros((cfg.batch_size, *spatial, cfg.in_chns), jnp.float32)
             variables = self.model.init(rngs, x, train=True)
+        params = variables["params"]
+        if cfg.state_dtype == "bfloat16":
+            # bf16 param storage (momentum follows via tx.init); BN
+            # batch_stats stay f32 — they are tiny and their running-
+            # average precision matters (docs/ROOFLINE.md §4)
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                params,
+            )
         state = TrainState.create(
-            variables["params"], variables.get("batch_stats", {}), self.tx
+            params, variables.get("batch_stats", {}), self.tx
         )
         if self.mesh is not None:
             from icl_tpu.parallel.mesh import shard_state

@@ -45,6 +45,12 @@ def parse_args():
                         "the train step (~20x end-to-end on tunneled chips)")
     p.add_argument("--precision", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--state_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="train-state storage: bfloat16 halves the "
+                        "per-step HBM traffic of params+momentum "
+                        "(stochastically rounded stores, f32 update "
+                        "math — docs/ROOFLINE.md)")
     p.add_argument("--scan_steps", type=int, default=1,
                    help="fuse N train steps into one XLA dispatch via "
                         "lax.scan (numerically ≡ per-step dispatch; "
@@ -85,7 +91,7 @@ def main():
         labeled_bs=args.labeled_bs, deterministic=args.deterministic,
         val_interval=args.val_interval,
         checkpoint_interval=args.checkpoint_interval,
-        precision=args.precision,
+        precision=args.precision, state_dtype=args.state_dtype,
         scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
         device_augment=(args.input_mode == "device_bank"),
     )
