@@ -756,7 +756,8 @@ def main():
     # left 2 of 4 rows unrecorded).
     run_secondaries = os.environ.get("ICL_TPU_BENCH_FAMILIES", "all") != "flagship"
     SECONDARY_NAMES = ("swinunetr_icl_brats", "unet_3d_icl_brats",
-                       "icl_swinunet_acdc", "icl_unet_acdc_bf16state")
+                       "icl_swinunet_acdc", "icl_unet_acdc_bf16state",
+                       "icl_unet_acdc_fast")
     for name in SECONDARY_NAMES:
         families[name] = (
             {"skipped": "not reached before run ended"} if run_secondaries
@@ -841,6 +842,16 @@ def main():
                  model="icl_unet", patch_size=(256, 256), batch_size=16,
                  labeled_bs=8, max_iterations=30000, precision="bfloat16",
                  state_dtype="bfloat16"),
+             (16, 256, 256, 1), 4, 50, {}, 150.0),
+            # all round-5 bandwidth optimizations together: bf16 train
+            # state + the fused sspa pair (class-decoder weights read
+            # once per step — docs/ROOFLINE.md §4.2). The repo's
+            # best-foot-forward flagship config.
+            ("icl_unet_acdc_fast",
+             ExperimentConfig(
+                 model="icl_unet", patch_size=(256, 256), batch_size=16,
+                 labeled_bs=8, max_iterations=30000, precision="bfloat16",
+                 state_dtype="bfloat16", fuse_icl_pair=True),
              (16, 256, 256, 1), 4, 50, {}, 150.0),
         ]
         for name, fcfg, shape, ncls, steps, kw, est in secondaries:

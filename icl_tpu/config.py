@@ -92,6 +92,14 @@ class ExperimentConfig:
     # training summary. Pure host-side tracing; overlaps the first
     # step's device compile. False skips the trace.
     log_flops: bool = True
+    # Fuse the two labeled-mode sspa passes of the ICL models into one
+    # batched call (reference makes two sequential shared-weight calls,
+    # unet_icl.py:230-231): the bandwidth-bound class-decoder weights
+    # are read once per step instead of twice (docs/ROOFLINE.md §4.2).
+    # Per-branch BN batch stats and labeled-only Q-means are preserved
+    # (models/icl.py pair_split) — equal to the two-call form up to
+    # drop-path RNG draws. Ignored by non-ICL models.
+    fuse_icl_pair: bool = False
     remat: bool = False  # rematerialize forward in backprop (memory/flops)
     # Gradient accumulation (the reference parses --accumulation-steps but
     # never uses it, net_factory.py:49-50; here it works via

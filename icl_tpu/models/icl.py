@@ -169,8 +169,23 @@ class InherentConsistent(nn.Module):
     tokenized_input: bool = False  # Swin 2D variant skips the proj conv
 
     @nn.compact
-    def __call__(self, feats, guided_Q=None, modal: str = "labeled", *, train: bool):
+    def __call__(self, feats, guided_Q=None, modal: str = "labeled", *, train: bool,
+                 pair_split: int | None = None):
+        """pair_split: when set (labeled mode only), `feats` is the
+        concatenation [labeled; other] along batch with `pair_split`
+        labeled samples — the two reference calls
+        (`unet_icl.py:230-231`: sspa on labeled feats, then sspa on
+        unlabeled feats through the same weights) fused into ONE pass so
+        the class-decoder weights (1.07 GiB of the flagship's 1.15 B
+        params, HBM-bandwidth-bound — docs/ROOFLINE.md §2) are read once
+        per step instead of twice. Exactness is preserved per branch:
+        every op up to the attention map is per-sample; the
+        BatchNorm-bearing SeparableConv runs split per branch (own batch
+        stats, running stats updated labeled-then-other — the reference's
+        sequential-call order); updated_Qs average the labeled half only
+        (the reference discards the second call's Qs)."""
         assert modal in ("labeled", "unlabeled")
+        assert pair_split is None or modal == "labeled"
         num_scales = len(self.depths)
         # Stochastic-depth rule: every scale uses dpr[1]
         # (unet_icl.py:274,292 — drop_path=dpr[1]).
@@ -225,9 +240,18 @@ class InherentConsistent(nn.Module):
             spatial = (res,) * self.spatial_dims
             attn = attn.reshape(bs * ncls, nheads, *spatial)
             attn = jnp.moveaxis(attn, 1, -1)
-            attn = SeparableConv(
-                nheads, self.spatial_dims, name=f"attn_conv0_{i}"
-            )(attn, train=train)
+            conv0 = SeparableConv(nheads, self.spatial_dims, name=f"attn_conv0_{i}")
+            if pair_split is not None:
+                # Per-branch BN: normalize each half by its own batch
+                # stats and update running stats in the reference's
+                # sequential order (labeled first). Rows are row-major,
+                # so the labeled half is the first pair_split·ncls rows.
+                s = pair_split * ncls
+                attn = jnp.concatenate(
+                    [conv0(attn[:s], train=train), conv0(attn[s:], train=train)], 0
+                )
+            else:
+                attn = conv0(attn, train=train)
             fm = TorchConv(1, (1,) * self.spatial_dims, name=f"attn_conv1_{i}")(attn)
             fm = fm.reshape(bs, ncls, *spatial)
             feat_map = jnp.moveaxis(fm, 1, -1)  # [B, *spatial, cls]
@@ -237,5 +261,24 @@ class InherentConsistent(nn.Module):
             next_Q = TorchDense(C // 2, name=f"query_conv{i}")(updated_Q)
 
             feat_maps.append(feat_map)
-            updated_Qs.append(updated_Q.mean(axis=0, keepdims=True))
+            q_for_mean = (
+                updated_Q[:pair_split] if pair_split is not None else updated_Q
+            )
+            updated_Qs.append(q_for_mean.mean(axis=0, keepdims=True))
         return feat_maps, updated_Qs
+
+
+def sspa_paired(sspa, feats_lab, feats_unlab, *, train: bool):
+    """Fuse the two labeled-mode `sspa` passes every ICL model makes
+    (reference pattern, e.g. `unet_icl.py:230-231`) into one batched
+    call. Returns (feat_maps_lab, feat_maps_consis, updated_Qs_lab) —
+    exactly the tensors the two-call form produces (the second call's
+    updated_Qs are discarded by every caller)."""
+    b_lab = feats_lab[0].shape[0]
+    feats = [jnp.concatenate([a, b], axis=0) for a, b in zip(feats_lab, feats_unlab)]
+    fm_pair, updated_Qs_lab = sspa(
+        feats, modal="labeled", train=train, pair_split=b_lab
+    )
+    fm_lab = [fm[:b_lab] for fm in fm_pair]
+    fm_consis = [fm[b_lab:] for fm in fm_pair]
+    return fm_lab, fm_consis, updated_Qs_lab

@@ -38,10 +38,12 @@ def _unet(in_chns, class_num, **kw):
 
 
 @register("icl_unet")
-def _icl_unet(in_chns, class_num, patch_size: int = 256, **kw):
+def _icl_unet(in_chns, class_num, patch_size: int = 256,
+              fuse_sspa_pair: bool = False, **kw):
     from icl_tpu.models.unet2d_icl import UNetICL
 
-    return UNetICL(in_chns=in_chns, class_num=class_num, patch_size=patch_size)
+    return UNetICL(in_chns=in_chns, class_num=class_num, patch_size=patch_size,
+                   fuse_sspa_pair=fuse_sspa_pair)
 
 
 @register("unet_cct")
@@ -78,13 +80,15 @@ def _swinunet(in_chns, class_num, img_size: int = 224, window_size: int = 7,
 
 @register("icl_swinunet")
 def _icl_swinunet(in_chns, class_num, img_size: int = 224, patch_size: int = 224,
-                  window_size: int = 7, swin_cfg=None, **kw):
+                  window_size: int = 7, swin_cfg=None,
+                  fuse_sspa_pair: bool = False, **kw):
     from icl_tpu.models.swin2d_icl import SwinUNetICL
 
     # patch_size alias: trainers pass the training patch (= img size here)
     return SwinUNetICL(in_chns=in_chns, class_num=class_num,
                        img_size=img_size if img_size != 224 else patch_size,
-                       window_size=window_size, cfg=swin_cfg)
+                       window_size=window_size, cfg=swin_cfg,
+                       fuse_sspa_pair=fuse_sspa_pair)
 
 
 @register("unet_3D")
@@ -95,10 +99,12 @@ def _unet_3d(in_chns, class_num, **kw):
 
 
 @register("unet_3D_icl")
-def _unet_3d_icl(in_chns, class_num, patch_size: int = 96, **kw):
+def _unet_3d_icl(in_chns, class_num, patch_size: int = 96,
+                 fuse_sspa_pair: bool = False, **kw):
     from icl_tpu.models.unet3d_icl import UNet3DICL
 
-    return UNet3DICL(in_chns=in_chns, class_num=class_num, patch_size=patch_size)
+    return UNet3DICL(in_chns=in_chns, class_num=class_num, patch_size=patch_size,
+                     fuse_sspa_pair=fuse_sspa_pair)
 
 
 @register("swinunetr")
@@ -114,9 +120,10 @@ def _swinunetr(in_chns, class_num, feature_size: int = 48,
 @register("swinunetr_icl")
 def _swinunetr_icl(in_chns, class_num, patch_size: int = 96,
                    feature_size: int = 48, window_size=(7, 7, 7),
-                   remat: bool = False, **kw):
+                   remat: bool = False, fuse_sspa_pair: bool = False, **kw):
     from icl_tpu.models.swinunetr_icl import SwinUNETRICL
 
     return SwinUNETRICL(in_chns=in_chns, class_num=class_num,
                         img_size=patch_size, feature_size=feature_size,
-                        window_size=tuple(window_size), remat=remat)
+                        window_size=tuple(window_size), remat=remat,
+                        fuse_sspa_pair=fuse_sspa_pair)

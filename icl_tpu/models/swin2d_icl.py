@@ -13,7 +13,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from icl_tpu.models.icl import InherentConsistent
+from icl_tpu.models.icl import InherentConsistent, sspa_paired
 from icl_tpu.models.swin2d import SwinConfig, SwinUNet2D
 
 
@@ -25,6 +25,9 @@ class SwinUNetICL(nn.Module):
     # full geometry override (e.g. a `--cfg` yaml through
     # models.swin_config.get_swin_config); wins over img_size/window_size
     cfg: Optional[SwinConfig] = None
+    # Fuse the two sspa passes into one batched call (weights read once;
+    # docs/ROOFLINE.md §4.2).
+    fuse_sspa_pair: bool = False
 
     def setup(self):
         cfg = self.cfg or SwinConfig(
@@ -55,8 +58,13 @@ class SwinUNetICL(nn.Module):
         output_lab, feats_lab = self.swin_unet(x_lab, train=train)
         output_unlab, feats_unlab = self.swin_unet(x_unlab, train=train)
 
-        feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
-        feat_maps_consisunlab, _ = self.sspa(feats_unlab, modal="labeled", train=train)
+        if self.fuse_sspa_pair:
+            feat_maps_lab, feat_maps_consisunlab, updated_Qs_lab = sspa_paired(
+                self.sspa, feats_lab, feats_unlab, train=train
+            )
+        else:
+            feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
+            feat_maps_consisunlab, _ = self.sspa(feats_unlab, modal="labeled", train=train)
         feat_maps_unlab, _ = self.uscl(
             feats_unlab, updated_Qs_lab, modal="unlabeled", train=train
         )

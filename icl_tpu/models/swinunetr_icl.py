@@ -12,7 +12,7 @@ from typing import Sequence
 
 from flax import linen as nn
 
-from icl_tpu.models.icl import InherentConsistent
+from icl_tpu.models.icl import InherentConsistent, sspa_paired
 from icl_tpu.models.swinunetr import SwinUNETR
 
 
@@ -24,6 +24,10 @@ class SwinUNETRICL(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: Sequence[int] = (7, 7, 7)
     remat: bool = False
+    # Fuse the two sspa passes into one batched call (weights read once;
+    # docs/ROOFLINE.md §4.2). ICL-head tensors are ≤24³ — no HBM risk,
+    # unlike fusing the backbone passes (see __call__).
+    fuse_sspa_pair: bool = False
 
     def setup(self):
         fs = self.feature_size
@@ -60,8 +64,13 @@ class SwinUNETRICL(nn.Module):
         logits_unlab, feats_unlab = self.backbone(x_unlab, train=train)
 
         # Only the first 3 taps are consumed (depths[:3] in the reference)
-        feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
-        feat_maps_consis, _ = self.sspa(feats_unlab, modal="labeled", train=train)
+        if self.fuse_sspa_pair:
+            feat_maps_lab, feat_maps_consis, updated_Qs_lab = sspa_paired(
+                self.sspa, feats_lab, feats_unlab, train=train
+            )
+        else:
+            feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
+            feat_maps_consis, _ = self.sspa(feats_unlab, modal="labeled", train=train)
         feat_maps_unlab, _ = self.uscl(
             feats_unlab, updated_Qs_lab, modal="unlabeled", train=train
         )

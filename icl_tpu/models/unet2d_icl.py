@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from icl_tpu.models.icl import InherentConsistent
+from icl_tpu.models.icl import InherentConsistent, sspa_paired
 from icl_tpu.models.unet2d import DEFAULT_FEATURES, Decoder, Encoder
 
 
@@ -22,6 +22,10 @@ class UNetICL(nn.Module):
     in_chns: int
     class_num: int
     patch_size: int = 256
+    # Fuse the two sspa passes into one batched call (one weight read
+    # for the HBM-bound class-decoder kernels — docs/ROOFLINE.md §4.2).
+    # Per-branch BN stats / labeled-only Q-means preserved (icl.py).
+    fuse_sspa_pair: bool = False
     # stochasticity knobs (reference defaults). zero_stochastic=True
     # turns off dropout + drop-path while keeping BN batch-stat updates
     # — used by the train-step reference-parity test, where dropout
@@ -58,8 +62,13 @@ class UNetICL(nn.Module):
         feature_unlab = self.encoder(x_unlab, train=train)
         output_unlab, feats_unlab = self.decoder(feature_unlab, train=train)
 
-        feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
-        feat_maps_consisunlab, _ = self.sspa(feats_unlab, modal="labeled", train=train)
+        if self.fuse_sspa_pair:
+            feat_maps_lab, feat_maps_consisunlab, updated_Qs_lab = sspa_paired(
+                self.sspa, feats_lab, feats_unlab, train=train
+            )
+        else:
+            feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
+            feat_maps_consisunlab, _ = self.sspa(feats_unlab, modal="labeled", train=train)
         feat_maps_unlab, _ = self.uscl(
             feats_unlab, updated_Qs_lab, modal="unlabeled", train=train
         )

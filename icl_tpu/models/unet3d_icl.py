@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from icl_tpu.models.icl import InherentConsistent
+from icl_tpu.models.icl import InherentConsistent, sspa_paired
 from icl_tpu.models.unet3d import DEFAULT_FILTERS_3D, UNet3D
 
 
@@ -19,6 +19,10 @@ class UNet3DICL(nn.Module):
     in_chns: int
     class_num: int
     patch_size: int = 96
+    # Fuse the two sspa passes into one batched call (weights read once;
+    # docs/ROOFLINE.md §4.2). The ICL head tensors are small (≤24³), so
+    # unlike the backbone (see __call__) this does NOT stress HBM.
+    fuse_sspa_pair: bool = False
 
     def setup(self):
         ft = DEFAULT_FILTERS_3D
@@ -52,8 +56,13 @@ class UNet3DICL(nn.Module):
         final_lab, feats_lab = self.backbone(x_lab, train=train)
         final_unlab, feats_unlab = self.backbone(x_unlab, train=train)
 
-        feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
-        feat_maps_consis, _ = self.sspa(feats_unlab, modal="labeled", train=train)
+        if self.fuse_sspa_pair:
+            feat_maps_lab, feat_maps_consis, updated_Qs_lab = sspa_paired(
+                self.sspa, feats_lab, feats_unlab, train=train
+            )
+        else:
+            feat_maps_lab, updated_Qs_lab = self.sspa(feats_lab, modal="labeled", train=train)
+            feat_maps_consis, _ = self.sspa(feats_unlab, modal="labeled", train=train)
         feat_maps_unlab, _ = self.uscl(
             feats_unlab, updated_Qs_lab, modal="unlabeled", train=train
         )

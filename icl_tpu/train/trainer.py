@@ -59,6 +59,8 @@ class Trainer:
         model_kwargs = dict(cfg.model_kwargs)
         if self.is_icl:
             model_kwargs["patch_size"] = int(cfg.patch_size[0])
+            if cfg.fuse_icl_pair:
+                model_kwargs["fuse_sspa_pair"] = True
         # swinunetr models take block-level remat (the effective form for
         # 3D Swin HBM peaks); other models use step-level remat below.
         model_remat = cfg.remat and cfg.model.startswith("swinunetr")

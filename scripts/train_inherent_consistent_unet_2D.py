@@ -51,6 +51,11 @@ def parse_args():
                         "per-step HBM traffic of params+momentum "
                         "(stochastically rounded stores, f32 update "
                         "math — docs/ROOFLINE.md)")
+    p.add_argument("--fuse_icl_pair", action="store_true",
+                   help="fuse the two sspa passes into one batched call "
+                        "(class-decoder weights read once per step; "
+                        "per-branch BN stats preserved — "
+                        "docs/ROOFLINE.md §4.2)")
     p.add_argument("--scan_steps", type=int, default=1,
                    help="fuse N train steps into one XLA dispatch via "
                         "lax.scan (numerically ≡ per-step dispatch; "
@@ -92,6 +97,7 @@ def main():
         val_interval=args.val_interval,
         checkpoint_interval=args.checkpoint_interval,
         precision=args.precision, state_dtype=args.state_dtype,
+        fuse_icl_pair=args.fuse_icl_pair,
         scan_steps=args.scan_steps, dispatch_depth=args.dispatch_depth,
         device_augment=(args.input_mode == "device_bank"),
     )

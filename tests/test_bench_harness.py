@@ -286,9 +286,10 @@ def test_main_degradation_scales_family_estimates(monkeypatch, capsys, tmp_path)
     fams = last["families"]
     assert set(fams) == {"icl_unet_acdc", "swinunetr_icl_brats",
                         "unet_3d_icl_brats", "icl_swinunet_acdc",
-                        "icl_unet_acdc_bf16state"}
+                        "icl_unet_acdc_bf16state", "icl_unet_acdc_fast"}
     for name in ("swinunetr_icl_brats", "unet_3d_icl_brats",
-                 "icl_swinunet_acdc", "icl_unet_acdc_bf16state"):
+                 "icl_swinunet_acdc", "icl_unet_acdc_bf16state",
+                 "icl_unet_acdc_fast"):
         assert "skipped" in fams[name], fams[name]
         assert "degradation" in fams[name]["skipped"]
     # degraded window must also not overwrite the healthy self-baseline
