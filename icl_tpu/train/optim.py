@@ -44,10 +44,23 @@ def poly_lr_schedule(base_lr: float, max_iterations: int, power: float = 0.9):
 def stochastic_round_bf16(x: jax.Array, key: jax.Array) -> jax.Array:
     """f32 → bf16 with stochastic rounding: add uniform bits below the
     bf16 mantissa, truncate. E[result] == x; sub-ulp signals survive in
-    expectation (round-to-nearest would drop them every step)."""
+    expectation (round-to-nearest would drop them every step).
+
+    Noise comes from XLA's native RngBitGenerator, NOT jax.random.bits:
+    threefry is ~dozens of VPU ops per draw, and at the flagship's 2.3 B
+    draws/step it cost more than the bandwidth the bf16 state saved
+    (measured round 5: bf16-state p50 189 ms vs f32-state 171 ms in the
+    same window, BENCH r5 manual run). The counter-based native
+    generator fuses into the store and keeps SR effectively free; SR
+    only needs uniform 16-bit dither, not cryptographic streams. `key`
+    (a standard PRNG key, one per leaf per step) seeds the 128-bit
+    generator state."""
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    noise = jax.random.bits(key, bits.shape, jnp.uint32) & jnp.uint32(0xFFFF)
-    trunc = (bits + noise) & jnp.uint32(0xFFFF0000)
+    kd = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    st = jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)])[:4]
+    _, noise = jax.lax.rng_bit_generator(st, bits.shape, dtype=jnp.uint32)
+    trunc = (bits + (noise & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(trunc, jnp.float32).astype(jnp.bfloat16)
 
 
