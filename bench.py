@@ -256,10 +256,30 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
     compile_s = time.time() - t0
 
     flops = None
+    mem_gb = {}
     try:
-        ca = trainer.step_auto.lower(state, batch, base_rng).compile().cost_analysis()
+        compiled = trainer.step_auto.lower(state, batch, base_rng).compile()
+        ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = float(ca.get("flops"))
+        # XLA compile-time HBM accounting (VERDICT r4 item 7 fallback:
+        # this tunneled backend returns memory_stats()=None, so the
+        # runtime high-water mark is unavailable; the compiler's
+        # arg+temp+output model is the defensible peak for THIS program
+        # — it is what must fit in the 16G HBM, remat story included)
+        ma = compiled.memory_analysis()
+        for k, label in (("argument_size_in_bytes", "xla_args_gb"),
+                         ("temp_size_in_bytes", "xla_temps_gb"),
+                         ("output_size_in_bytes", "xla_outputs_gb"),
+                         ("generated_code_size_in_bytes", "xla_code_mb")):
+            v = getattr(ma, k, None)
+            if v:
+                mem_gb[label] = round(
+                    v / 2**20 if label.endswith("mb") else v / 2**30, 2)
+        if mem_gb:
+            # donated args alias outputs, so peak ≈ args + temps
+            mem_gb["xla_peak_gb"] = round(
+                mem_gb.get("xla_args_gb", 0) + mem_gb.get("xla_temps_gb", 0), 2)
     except Exception:
         pass
     analytic = None
@@ -352,6 +372,7 @@ def time_family(cfg, batch_shape, num_classes: int, steps: int, scan_k: int = 0,
             out["hbm_live_gb"] = round(live / 2**30, 2)
     except Exception:
         pass
+    out.update(mem_gb)
     if scan_k > 1:
         # Multi-step fusion (cfg.scan_steps): lax.scan scan_k steps into
         # ONE dispatch — amortizes host dispatch/tunnel latency. fit()
